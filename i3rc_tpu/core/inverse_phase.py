@@ -1,0 +1,77 @@
+"""Inverse (cumulative) phase functions: scattering angle as a function of CDF.
+
+Re-implements Code/inversePhaseFunctions.f95.  For each phase function the
+cumulative distribution is trapezoid-integrated in the cosine of the
+scattering angle at the native angle grid (or Lobatto nodes for Legendre
+storage), then the piecewise-quadratic CDF is inverted analytically at
+n_steps uniformly spaced probabilities (inversePhaseFunctions.f95:118-170).
+
+Fully vectorized over probability steps; the handful of table entries loop
+in Python (setup-time only).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from i3rc_tpu.core.phase_functions import PhaseFunction, PhaseFunctionTable
+from i3rc_tpu.core.quadrature import find_index, lobatto
+
+
+def _mu_value_grid(pf: PhaseFunction):
+    """Phase function on a mu-ascending grid (backscatter -> forward).
+
+    Mirrors inversePhaseFunctions.f95:90-115: native angles for tabulated
+    storage, Lobatto nodes of order max(nMoments, 2) for Legendre storage.
+    """
+    if pf.stored_as_tabulated:
+        mus = np.cos(pf.scattering_angle[::-1])
+        values = pf.values(pf.scattering_angle)[::-1]
+    else:
+        n = max(pf.n_moments, 2)
+        mus, _ = lobatto(n)
+        mus = np.clip(mus, -1.0, 1.0)
+        values = pf.values(np.arccos(mus[::-1]))[::-1]
+    return mus, values
+
+
+def inverse_phase_function(pf: PhaseFunction, n_steps: int) -> np.ndarray:
+    """Scattering angle (radians) at n_steps CDF values uniform on [0, 1].
+
+    Entry i corresponds to CDF = i / (n_steps - 1); entry 0 is pi
+    (backscatter), the last entry is 0 (exact forward).
+    Mirrors computeInversePhaseFunction (inversePhaseFunctions.f95:68-176).
+    """
+    mus, values = _mu_value_grid(pf)
+    cdf = np.concatenate(([0.0], np.cumsum((mus[1:] - mus[:-1]) * 0.5 * (values[1:] + values[:-1]))))
+    cdf = cdf / cdf[-1]
+
+    p = np.arange(n_steps, dtype=np.float64) / (n_steps - 1)
+    idx = find_index(p, cdf)
+    c0, c1 = cdf[idx], cdf[idx + 1]
+    m0, m1 = mus[idx], mus[idx + 1]
+    v0, v1 = values[idx], values[idx + 1]
+
+    dc = c1 - c0
+    flat_cdf = dc <= np.spacing(np.abs(c0) + 1.0)
+    flat_val = np.abs(v0 - v1) <= np.spacing(np.abs(v0) + 1e-30)
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        # Locally constant phase function: linear CDF inversion (:155-158).
+        mu_linear = m0 + (m1 - m0) * (p - c0) / dc
+        # General piecewise-quadratic inversion (:162-167).
+        radicand = np.maximum(((c1 - p) * v0**2 + (p - c0) * v1**2) / dc, 0.0)
+        mu_general = m0 + (m1 - m0) / (v0 - v1) * (v0 - np.sqrt(radicand))
+
+    mu = np.where(flat_cdf, m0, np.where(flat_val, mu_linear, mu_general))
+    angle = np.arccos(np.clip(mu, -1.0, 1.0))
+    angle[-1] = 0.0  # CDF == 1 -> exact forward (:170)
+    return angle
+
+
+def inverse_phase_function_table(table: PhaseFunctionTable, n_steps: int) -> np.ndarray:
+    """Inverse table for every entry: shape (n_entries, n_steps).
+
+    Mirrors computeInversePhaseFuncTable (inversePhaseFunctions.f95:28-66).
+    """
+    return np.stack([inverse_phase_function(pf, n_steps) for pf in table.phase_functions])

@@ -1,0 +1,120 @@
+"""Surface reflection: gridded BRDF parameters with a pluggable kernel.
+
+Re-implements Code/surfaceProperties.f95: a surface is an x/y grid of BRDF
+parameter vectors; reflection weight is computed by a swappable kernel
+function R(params, mu_in, mu_out, phi_in, phi_out).  The shipped kernel is
+Lambertian (R = params[0], surfaceProperties.f95:154-162), and positions are
+wrapped periodically before the cell lookup (:212-231).
+
+TPU design: the BRDF kernel must be jit-traceable.  It receives per-photon
+parameter vectors gathered from the grid plus the incident/outgoing angles
+(all float32 arrays) and returns reflectance weights.  Registering a new
+BRDF is one function, the exact analog of swapping R() in the reference.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from i3rc_tpu.utils.errors import Status
+
+
+def lambertian_brdf(params, mu_in, mu_out, phi_in, phi_out):
+    """Lambertian albedo: reflectance = parameter 1 (surfaceProperties.f95:154-162)."""
+    del mu_in, mu_out, phi_in, phi_out
+    return params[..., 0]
+
+
+# RPV (Rahman-Pinty-Verstraete) is a common 3-parameter land BRDF; provided
+# as a second registered kernel to demonstrate the swap point (the reference
+# ships only Lambertian but documents the swap at surfaceProperties.f95:150-153).
+def rpv_brdf(params, mu_in, mu_out, phi_in, phi_out):
+    """RPV BRDF with params = (rho0, k, theta_hg); returns directional reflectance."""
+    rho0, k, theta = params[..., 0], params[..., 1], params[..., 2]
+    mu_i = jnp.abs(mu_in)
+    mu_r = jnp.abs(mu_out)
+    sin_i = jnp.sqrt(jnp.maximum(1.0 - mu_i**2, 0.0))
+    sin_r = jnp.sqrt(jnp.maximum(1.0 - mu_r**2, 0.0))
+    cos_dphi = jnp.cos(phi_in - phi_out)
+    cos_g = mu_i * mu_r + sin_i * sin_r * cos_dphi
+    g_hg = (1.0 - theta**2) / (1.0 + theta**2 + 2.0 * theta * cos_g) ** 1.5
+    tan_i = sin_i / jnp.maximum(mu_i, 1e-6)
+    tan_r = sin_r / jnp.maximum(mu_r, 1e-6)
+    big_g = jnp.sqrt(jnp.maximum(tan_i**2 + tan_r**2 - 2.0 * tan_i * tan_r * cos_dphi, 0.0))
+    hot = 1.0 + (1.0 - rho0) / (1.0 + big_g)
+    m = (mu_i * mu_r * (mu_i + mu_r)) ** (k - 1.0)
+    return rho0 * m * g_hg * hot
+
+
+BRDF_REGISTRY = {"lambertian": lambertian_brdf, "rpv": rpv_brdf}
+
+
+@dataclass(frozen=True)
+class SurfaceDescription:
+    """x/y-gridded BRDF parameters (type surfaceDescription, surfaceProperties.f95:34-38)."""
+
+    x_edges: np.ndarray            # (nx_s + 1,)
+    y_edges: np.ndarray            # (ny_s + 1,)
+    parameters: np.ndarray         # (nx_s, ny_s, n_params) float32
+    brdf_name: str = "lambertian"
+
+    @staticmethod
+    def create(parameters, x_edges, y_edges, brdf_name="lambertian") -> "SurfaceDescription":
+        """newSurfaceDescriptionXY analog (surfaceProperties.f95:60-96).
+
+        ``parameters`` has shape (nx_s, ny_s, n_params); note the reference
+        stores (n_params, nx, ny) — we keep parameters innermost so gathers
+        pull one contiguous vector per photon.
+        """
+        parameters = np.asarray(parameters, dtype=np.float32)
+        x_edges = np.asarray(x_edges, dtype=np.float64)
+        y_edges = np.asarray(y_edges, dtype=np.float64)
+        s = Status()
+        s.fail_if(brdf_name not in BRDF_REGISTRY,
+                  f"unknown BRDF '{brdf_name}'; registered: {sorted(BRDF_REGISTRY)}")
+        s.fail_if(parameters.ndim != 3, "parameters must be (nx, ny, n_params)")
+        if parameters.ndim == 3:
+            s.fail_if(parameters.shape[0] != x_edges.size - 1
+                      or parameters.shape[1] != y_edges.size - 1,
+                      "position vectors are the wrong length for the parameter grid")
+        s.fail_if(bool(np.any(np.diff(x_edges) <= 0.0) | np.any(np.diff(y_edges) <= 0.0)),
+                  "positions must be unique and increasing")
+        if brdf_name == "lambertian" and parameters.ndim == 3:
+            s.fail_if(bool(np.any((parameters[..., 0] < 0.0) | (parameters[..., 0] > 1.0))),
+                      "Lambertian surface reflectance must be between 0 and 1")
+        s.check("SurfaceDescription.create")
+        return SurfaceDescription(x_edges, y_edges, parameters, brdf_name)
+
+    @staticmethod
+    def uniform(parameters, brdf_name="lambertian") -> "SurfaceDescription":
+        """Horizontally uniform surface (newSurfaceUniform, surfaceProperties.f95:98-117)."""
+        params = np.asarray(parameters, dtype=np.float32)[None, None, :]
+        big = np.finfo(np.float32).max
+        return SurfaceDescription.create(params, np.array([0.0, big]), np.array([0.0, big]),
+                                         brdf_name)
+
+    @property
+    def n_parameters(self) -> int:
+        return self.parameters.shape[-1]
+
+    @property
+    def is_uniform(self) -> bool:
+        return self.parameters.shape[0] == 1 and self.parameters.shape[1] == 1
+
+    def reflectance_host(self, x, y, mu_in, mu_out, phi_in, phi_out):
+        """Host-side reference implementation (computeSurfaceReflectance analog)."""
+        x0, x1 = self.x_edges[0], self.x_edges[-1]
+        y0, y1 = self.y_edges[0], self.y_edges[-1]
+        xp = x0 + np.mod(x - x0, x1 - x0)
+        yp = y0 + np.mod(y - y0, y1 - y0)
+        ix = np.clip(np.searchsorted(self.x_edges, xp, side="right") - 1, 0,
+                     self.parameters.shape[0] - 1)
+        iy = np.clip(np.searchsorted(self.y_edges, yp, side="right") - 1, 0,
+                     self.parameters.shape[1] - 1)
+        fn = BRDF_REGISTRY[self.brdf_name]
+        return np.asarray(fn(jnp.asarray(self.parameters[ix, iy]),
+                             jnp.asarray(mu_in), jnp.asarray(mu_out),
+                             jnp.asarray(phi_in), jnp.asarray(phi_out)))
