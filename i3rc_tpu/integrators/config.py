@@ -1,0 +1,85 @@
+"""Integrator configuration.
+
+All 16 optional parameters of the reference's single mutation point
+specifyParameters (Integrators/monteCarloRadiativeTransfer.f95:830-1069) map
+onto this frozen dataclass plus the Integrator constructor arguments (surface
+and intensity directions carry arrays, so they live on the Integrator).
+Defaults match the reference's (monteCarloRadiativeTransfer.f95:36-43,
+57-66, 118-129).
+
+TPU-specific additions: the event and cell-crossing budgets that bound the
+kernel's while_loops (the reference loops unboundedly and can hang on
+grazing trajectories; we cap and count them in n_bad), and the wavefront
+width (photon lanes stepped together).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+
+from i3rc_tpu.utils.errors import Status
+
+DEFAULT_MIN_FORWARD_TABLE_SIZE = 9001
+DEFAULT_MIN_INVERSE_TABLE_SIZE = 9001
+DEFAULT_HYBRID_PHASE_FUN_WIDTH = 7.0
+MAX_HYBRID_PHASE_FUN_WIDTH = 30.0
+DEFAULT_ZETA_MIN = 0.3
+DEFAULT_MAX_INTENSITY_CONTRIBUTION = 3.4028e38
+
+
+@dataclass(frozen=True)
+class IntegratorConfig:
+    # Transport algorithm: voxel ray tracing vs Marchuk maximum cross-section
+    # (monteCarloRadiativeTransfer.f95:63, :408-412).
+    use_ray_tracing: bool = True
+    # Russian roulette on photon weight (:65-66, :673-679).
+    use_russian_roulette: bool = True
+    russian_roulette_w: float = 1.0
+    # Iwabuchi (JAS 2006) Russian roulette for intensity traces (:123-124).
+    use_russian_roulette_for_intensity: bool = False
+    zeta_min: float = DEFAULT_ZETA_MIN
+    # Hybrid Gaussian-forward-peak phase functions for local estimation
+    # (:118-120, :1925-2039).
+    use_hybrid_phase_funs: bool = False
+    hybrid_phase_fun_width: float = DEFAULT_HYBRID_PHASE_FUN_WIDTH
+    num_orders_orig_phase_fun: int = 0
+    # Barker-style local-estimate clipping + excess redistribution (:127-130).
+    limit_intensity_contributions: bool = False
+    max_intensity_contribution: float = DEFAULT_MAX_INTENSITY_CONTRIBUTION
+    # Tabulation resolutions (:36-37).
+    min_forward_table_size: int = DEFAULT_MIN_FORWARD_TABLE_SIZE
+    min_inverse_table_size: int = DEFAULT_MIN_INVERSE_TABLE_SIZE
+    # --- TPU kernel budgets (no reference analog; see module docstring) ----
+    max_events: int = 1000          # scattering orders per photon
+    max_crossings: int = 0          # 0 -> auto: 8 * (nx + ny + nz)
+    max_intensity_crossings: int = 0
+
+    def validate(self) -> "IntegratorConfig":
+        """Range checks with the reference's warning-downgrade semantics."""
+        s = Status()
+        cfg = self
+        if not (0.0 < cfg.hybrid_phase_fun_width < MAX_HYBRID_PHASE_FUN_WIDTH):
+            s.warn_if(cfg.use_hybrid_phase_funs,
+                      f"hybridPhaseFunWidth out of range (0, {MAX_HYBRID_PHASE_FUN_WIDTH}); "
+                      f"using default {DEFAULT_HYBRID_PHASE_FUN_WIDTH}")
+            cfg = replace(cfg, hybrid_phase_fun_width=DEFAULT_HYBRID_PHASE_FUN_WIDTH)
+        if cfg.num_orders_orig_phase_fun < 0:
+            s.warnings.append("numOrdersOrigPhaseFunIntenCalcs < 0; using 0")
+            cfg = replace(cfg, num_orders_orig_phase_fun=0)
+        if cfg.max_intensity_contribution <= 0.0:
+            s.warnings.append("maxIntensityContribution <= 0; ignored")
+            cfg = replace(cfg, max_intensity_contribution=DEFAULT_MAX_INTENSITY_CONTRIBUTION)
+        if cfg.zeta_min < 0.0:
+            s.warnings.append("zetaMin must be >= 0; using default")
+            cfg = replace(cfg, zeta_min=DEFAULT_ZETA_MIN)
+        s.warn_if(cfg.zeta_min > 1.0, "zetaMin > 1: that's kind of large")
+        if cfg.min_forward_table_size < DEFAULT_MIN_FORWARD_TABLE_SIZE:
+            s.warnings.append("minForwardTableSize less than default; value ignored")
+            cfg = replace(cfg, min_forward_table_size=DEFAULT_MIN_FORWARD_TABLE_SIZE)
+        if cfg.min_inverse_table_size < DEFAULT_MIN_INVERSE_TABLE_SIZE:
+            s.warnings.append("minInverseTableSize less than default; value ignored")
+            cfg = replace(cfg, min_inverse_table_size=DEFAULT_MIN_INVERSE_TABLE_SIZE)
+        s.fail_if(cfg.russian_roulette_w <= 0.0, "russian_roulette_w must be positive")
+        s.fail_if(cfg.max_events < 1, "max_events must be at least 1")
+        s.check("IntegratorConfig")
+        return cfg

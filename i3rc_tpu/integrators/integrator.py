@@ -1,0 +1,219 @@
+"""The user-facing Monte Carlo integrator.
+
+Maps the reference's integrator lifecycle (new_Integrator / specifyParameters
+/ computeRadiativeTransfer / reportResults, Integrators/
+monteCarloRadiativeTransfer.f95:154-156) onto an immutable object:
+
+    integ = Integrator.create(domain, config=..., surface_albedo=...,
+                              intensity_mus=[...], intensity_phis=[...])
+    results = integ.compute(key, source, n_photons)   # one batch
+    results.mean_flux_up, results.flux_down, ...
+
+``create`` flattens the domain once, builds the phase-function tables at the
+configured resolutions, and bakes everything into a jitted batch tracer.
+``with_params`` returns a reconfigured copy (the specifyParameters analog —
+immutability replaces the reference's single mutation point).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from i3rc_tpu.core.illumination import PhotonSource
+from i3rc_tpu.core.optics import Domain, FlatOptics, flatten_optics
+from i3rc_tpu.core.surface import BRDF_REGISTRY, SurfaceDescription
+from i3rc_tpu.integrators.config import IntegratorConfig
+from i3rc_tpu.integrators.results import Results, column_weights, normalize_tallies
+from i3rc_tpu.integrators.tables import build_forward_tables, build_inverse_tables, hybridize
+from i3rc_tpu.integrators.wavefront import (
+    DeviceOptics,
+    DeviceTables,
+    IntensitySpec,
+    SurfaceSpec,
+    make_batch_tracer,
+)
+from i3rc_tpu.ops.dda import EXIT_BOT, EXIT_TOP, GridGeometry
+from i3rc_tpu.utils.errors import Status
+
+
+@dataclass(frozen=True)
+class Integrator:
+    """Immutable, device-resident radiative transfer solver for one domain."""
+
+    geometry: GridGeometry
+    optics: DeviceOptics
+    tables: DeviceTables
+    surface: SurfaceSpec
+    intensity: IntensitySpec | None
+    config: IntegratorConfig
+    _flat: FlatOptics
+    _col_weights: np.ndarray
+    _dz: np.ndarray
+    _domain: Domain
+    _surface_arg: SurfaceDescription | None
+    _surface_albedo: float
+    _intensity_mus: object
+    _intensity_phis: object
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def create(domain: Domain, config: IntegratorConfig | None = None,
+               surface_albedo: float = 0.0,
+               surface: SurfaceDescription | None = None,
+               intensity_mus=None, intensity_phis=None) -> "Integrator":
+        """new_Integrator + specifyParameters in one constructor."""
+        config = (config or IntegratorConfig()).validate()
+        s = Status()
+        s.fail_if(surface is not None and surface_albedo != 0.0,
+                  "only one surface specification can be provided")
+        s.fail_if(not (0.0 <= surface_albedo <= 1.0), "surface albedo out of range")
+        s.fail_if((intensity_mus is None) != (intensity_phis is None),
+                  "both or neither of intensityMus and intensityPhis must be supplied")
+        if intensity_mus is not None:
+            mus = np.atleast_1d(np.asarray(intensity_mus, dtype=np.float64))
+            phis = np.atleast_1d(np.asarray(intensity_phis, dtype=np.float64))
+            s.fail_if(mus.size != phis.size,
+                      "intensityMus and intensityPhis must be the same length")
+            s.fail_if(bool(np.any(np.abs(mus) > 1.0)), "intensityMus must be in [-1, 1]")
+            s.fail_if(bool(np.any(np.abs(mus) < 1e-30)),
+                      "intensityMus can't be 0 (directly sideways)")
+            s.fail_if(bool(np.any((phis < 0.0) | (phis > 360.0))),
+                      "intensityPhis must be between 0 and 360")
+        s.check("Integrator.create")
+
+        flat = flatten_optics(domain)
+        geom = GridGeometry.from_edges(domain.x_edges, domain.y_edges, domain.z_edges,
+                                       domain.xy_regularly_spaced, domain.z_regularly_spaced)
+
+        # Device optics (flat, C-order).
+        optics = DeviceOptics(
+            total_ext=jnp.asarray(flat.total_ext.ravel()),
+            cumulative_ext=jnp.asarray(flat.cumulative_ext.ravel()),
+            ssa=jnp.asarray(flat.ssa.ravel()),
+            phase_index=jnp.asarray(flat.phase_index.ravel(), dtype=jnp.int32),
+            n_components=flat.n_components,
+            max_extinction=flat.max_extinction,
+        )
+
+        # Tables: inverse always; forward only when intensity is requested.
+        compute_intensity = intensity_mus is not None
+        inv = build_inverse_tables(flat, config.min_inverse_table_size)
+        fwd = fwd_orig = None
+        if compute_intensity:
+            fwd_orig_np = build_forward_tables(flat, config.min_forward_table_size)
+            fwd_np = fwd_orig_np
+            if config.use_hybrid_phase_funs and config.hybrid_phase_fun_width > 0.0:
+                fwd_np = hybridize(fwd_orig_np, config.hybrid_phase_fun_width)
+            fwd = jnp.asarray(fwd_np.ravel())
+            fwd_orig = jnp.asarray(fwd_orig_np.ravel())
+        tables = DeviceTables(
+            inverse=jnp.asarray(inv.ravel()),
+            n_inverse_steps=inv.shape[2],
+            forward=fwd, forward_orig=fwd_orig,
+            n_forward_steps=config.min_forward_table_size if compute_intensity else 0,
+            max_entries=inv.shape[1],
+        )
+
+        if surface is not None:
+            sspec = SurfaceSpec(
+                brdf_fn=BRDF_REGISTRY[surface.brdf_name],
+                params=jnp.asarray(surface.parameters.reshape(-1, surface.n_parameters)),
+                x_edges=jnp.asarray(surface.x_edges, dtype=jnp.float32),
+                y_edges=jnp.asarray(surface.y_edges, dtype=jnp.float32),
+                n_xs=surface.parameters.shape[0], n_ys=surface.parameters.shape[1])
+        else:
+            sspec = SurfaceSpec(albedo=float(surface_albedo))
+
+        ispec = None
+        if compute_intensity:
+            phis_rad = np.deg2rad(phis)
+            sin_t = np.sqrt(np.maximum(1.0 - mus**2, 0.0))
+            dirs = np.stack([sin_t * np.cos(phis_rad), sin_t * np.sin(phis_rad), mus])
+            ispec = IntensitySpec(
+                directions=jnp.asarray(dirs, dtype=jnp.float32),
+                abs_mu=jnp.asarray(np.abs(mus), dtype=jnp.float32),
+                exit_status=jnp.asarray(np.where(mus > 0, EXIT_TOP, EXIT_BOT),
+                                        dtype=jnp.int32),
+                n_directions=mus.size)
+
+        return Integrator(
+            geometry=geom, optics=optics, tables=tables, surface=sspec,
+            intensity=ispec, config=config, _flat=flat,
+            _col_weights=column_weights(domain.x_edges, domain.y_edges),
+            _dz=np.diff(np.asarray(domain.z_edges, dtype=np.float64)).astype(np.float32),
+            _domain=domain, _surface_arg=surface, _surface_albedo=float(surface_albedo),
+            _intensity_mus=None if intensity_mus is None else np.asarray(intensity_mus),
+            _intensity_phis=None if intensity_phis is None else np.asarray(intensity_phis),
+        )
+
+    # ------------------------------------------------------------------
+    def with_params(self, **kwargs) -> "Integrator":
+        """Reconfigure and rebuild (the specifyParameters analog, :830-1069).
+
+        Accepts any IntegratorConfig field plus surface_albedo / surface /
+        intensity_mus / intensity_phis.  Returns a new Integrator;
+        immutability replaces the reference's in-place mutation.
+        """
+        cfg_updates = {k: v for k, v in kwargs.items() if hasattr(self.config, k)}
+        other = {k: v for k, v in kwargs.items() if not hasattr(self.config, k)}
+        unknown = set(other) - {"surface_albedo", "surface", "intensity_mus",
+                                "intensity_phis"}
+        if unknown:
+            raise TypeError(f"with_params: unknown parameters {sorted(unknown)}")
+        surface = other.get("surface", self._surface_arg)
+        albedo = other.get("surface_albedo",
+                           0.0 if "surface" in other else self._surface_albedo)
+        mus = other.get("intensity_mus", self._intensity_mus)
+        phis = other.get("intensity_phis", self._intensity_phis)
+        return Integrator.create(self._domain, config=replace(self.config, **cfg_updates),
+                                 surface_albedo=albedo, surface=surface,
+                                 intensity_mus=mus, intensity_phis=phis)
+
+    @property
+    def is_ready(self) -> bool:
+        """isReady_Integrator analog — construction guarantees readiness."""
+        return True
+
+    @property
+    def grid_shape(self):
+        return (self.geometry.n_x, self.geometry.n_y, self.geometry.n_z)
+
+    # ------------------------------------------------------------------
+    def batch_tracer(self, n_photons: int):
+        """The raw jittable (key, PhotonBatch) -> RawTallies function."""
+        return make_batch_tracer(self.geometry, self.optics, self.tables,
+                                 self.surface, self.intensity, self.config,
+                                 n_photons)
+
+    def batch_fn(self, source: PhotonSource, n_photons: int):
+        """Compiled (key) -> Results for one batch; cached per (source, size)."""
+        cache = self.__dict__.setdefault("_compiled_cache", {})
+        cache_key = (source, int(n_photons))
+        if cache_key not in cache:
+            n_dirs = self.intensity.n_directions if self.intensity else 0
+            tracer = self.batch_tracer(n_photons)
+
+            @jax.jit
+            def run(k):
+                k_src, k_trace = jax.random.split(k)
+                batch = source.sample(k_src, n_photons)
+                raw = tracer(k_trace, batch)
+                return normalize_tallies(raw, self.geometry.n_x, self.geometry.n_y,
+                                         self.geometry.n_z, n_dirs,
+                                         self.optics.n_components,
+                                         self._col_weights, self._dz)
+
+            cache[cache_key] = run
+        return cache[cache_key]
+
+    def compute(self, key: jax.Array, source: PhotonSource, n_photons: int) -> Results:
+        """Trace one batch of photons and return normalized results.
+
+        The computeRadiativeTransfer analog (:262-398).  ``key`` is the batch
+        stream (e.g. rng.batch_key(seed, batch_index)).
+        """
+        return self.batch_fn(source, n_photons)(key)

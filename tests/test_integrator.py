@@ -1,0 +1,188 @@
+"""Physics tests for the wavefront integrator against analytic oracles.
+
+Oracles (SURVEY.md section 4 strategy, adapted because no Fortran compiler
+exists in this environment):
+  * pure absorption -> Beer-Lambert closed form
+  * optically thin slab radiance -> single-scattering analytic solution
+  * heterogeneous step cloud -> independent scalar photon-serial MC
+    (tests/reference_mc.py), 2-3 sigma statistical agreement
+  * conservative energy closure Fup + Fdn + absorbed == 1
+"""
+
+import numpy as np
+import jax
+import pytest
+
+from i3rc_tpu import Domain, Integrator, IntegratorConfig, PhaseFunction, PhotonSource
+from i3rc_tpu.core.phase_functions import (
+    PhaseFunctionTable,
+    henyey_greenstein_coefficients,
+    henyey_greenstein_values,
+)
+
+
+def hg_table(g=0.85, n_coeff=64, ext=0.0, ssa=0.0):
+    pf = PhaseFunction.from_legendre(henyey_greenstein_coefficients(g, n_coeff))
+    return PhaseFunctionTable.from_phase_functions([pf], key=[1.0])
+
+
+def slab_domain(tau, ssa, g=0.85, n_layers=2, thickness=250.0):
+    table = hg_table(g)
+    dom = Domain.create([0.0, 500.0], [0.0, 500.0],
+                        np.linspace(0.0, thickness, n_layers + 1))
+    ext = np.full((1, 1, n_layers), tau / thickness)
+    dom = dom.add_component("cloud", ext, np.full_like(ext, ssa),
+                            np.zeros(ext.shape, np.int32), table)
+    return dom
+
+
+N = 200_000
+
+
+@pytest.mark.parametrize("use_rt", [True, False])
+def test_pure_absorption_beer_lambert(use_rt):
+    """ssa=0: flux down = exp(-tau/mu0), absorbed = 1 - exp(-tau/mu0)."""
+    tau, mu0 = 1.0, 0.5
+    dom = slab_domain(tau, ssa=0.0, n_layers=4)
+    integ = Integrator.create(dom, config=IntegratorConfig(use_ray_tracing=use_rt))
+    res = integ.compute(jax.random.PRNGKey(2), PhotonSource.directional(mu0, 0.0), N)
+    expected_fdn = np.exp(-tau / mu0)
+    sigma = np.sqrt(expected_fdn * (1 - expected_fdn) / N)
+    assert float(res.mean_flux_up) == 0.0
+    assert abs(float(res.mean_flux_down) - expected_fdn) < 4 * sigma
+    assert abs(float(res.mean_flux_absorbed) - (1 - expected_fdn)) < 4 * sigma
+    # Layer-resolved absorption: Beer-Lambert differences across each layer,
+    # divided by layer thickness (volume absorption is per meter).
+    t_edges = np.linspace(0, tau, 5)
+    layer_abs = np.exp(-t_edges[:-1] / mu0) - np.exp(-t_edges[1:] / mu0)
+    dz = 250.0 / 4
+    profile = np.asarray(res.absorbed_profile)[::-1] * dz  # z index 0 = bottom
+    np.testing.assert_allclose(profile, layer_abs, atol=6 * sigma)
+    assert int(res.n_bad) == 0
+
+
+@pytest.mark.parametrize("use_rt", [True, False])
+def test_conservative_energy_closure(use_rt):
+    dom = slab_domain(4.0, ssa=1.0)
+    integ = Integrator.create(dom, config=IntegratorConfig(use_ray_tracing=use_rt))
+    res = integ.compute(jax.random.PRNGKey(3), PhotonSource.directional(0.5, 0.0), N)
+    total = float(res.mean_flux_up + res.mean_flux_down)
+    assert abs(total - 1.0) < 5e-4  # only max_events truncation can lose weight
+    assert float(res.mean_flux_absorbed) == 0.0
+
+
+def test_lambertian_surface_reflection():
+    """tau=0 medium + albedo A: Fdn = 1, Fup = A exactly (no medium)."""
+    table = hg_table()
+    dom = Domain.create([0, 500.0], [0, 500.0], [0.0, 250.0])
+    ext = np.full((1, 1, 1), 1e-9)
+    dom = dom.add_component("thin", ext, np.ones_like(ext),
+                            np.zeros(ext.shape, np.int32), table)
+    integ = Integrator.create(dom, surface_albedo=0.4)
+    res = integ.compute(jax.random.PRNGKey(4), PhotonSource.directional(0.7, 30.0), N)
+    assert abs(float(res.mean_flux_down) - 1.0) < 1e-3
+    assert abs(float(res.mean_flux_up) - 0.4) < 1e-3
+
+
+def test_single_scattering_radiance():
+    """Thin slab: radiance matches the analytic single-scattering solution.
+
+    I(mu, phi) = ssa * P(Theta) / (4 pi (mu + mu0)) * (1 - exp(-tau (1/mu + 1/mu0)))
+    with cos(Theta) the angle between the incident beam and the detector.
+    Exercises the forward tables, local estimation, and normalization.
+    """
+    tau, mu0, g = 0.2, 0.6, 0.5
+    phi0 = 0.0
+    mus_det = np.array([0.8, 0.4, -0.7])
+    phis_det = np.array([0.0, 120.0, 60.0])
+    dom = slab_domain(tau, ssa=1.0, g=g)
+    # max_events=1 truncates to exactly first-order scattering, which is what
+    # the analytic formula describes; the full solution is strictly larger.
+    integ = Integrator.create(dom, config=IntegratorConfig(max_events=1),
+                              intensity_mus=mus_det, intensity_phis=phis_det)
+    res = integ.compute(jax.random.PRNGKey(5), PhotonSource.directional(mu0, phi0), N)
+    integ_full = Integrator.create(dom, intensity_mus=mus_det, intensity_phis=phis_det)
+    res_full = integ_full.compute(jax.random.PRNGKey(5),
+                                  PhotonSource.directional(mu0, phi0), N)
+
+    s0 = np.sqrt(1 - mu0**2)
+    d0 = np.array([s0 * np.cos(phi0), s0 * np.sin(phi0), -mu0])
+    for i, (mu, phi) in enumerate(zip(mus_det, np.deg2rad(phis_det))):
+        sd = np.sqrt(1 - mu**2)
+        det = np.array([sd * np.cos(phi), sd * np.sin(phi), mu])
+        cos_theta = d0 @ det
+        p = PhaseFunction.from_legendre(
+            henyey_greenstein_coefficients(g, 64)).values(np.array([np.arccos(cos_theta)]))[0]
+        if mu > 0:  # reflected at top
+            expected = p / (4 * np.pi * (mu + mu0)) * (1 - np.exp(-tau * (1 / mu + 1 / mu0)))
+        else:  # transmitted (diffuse) at bottom
+            am = abs(mu)
+            if abs(am - mu0) > 1e-9:
+                expected = p / (4 * np.pi) / (mu0 - am) * (
+                    np.exp(-tau / mu0) - np.exp(-tau / am))
+            else:
+                expected = p / (4 * np.pi) * tau / mu0**2 * np.exp(-tau / mu0)
+        got = float(res.mean_intensity[i])
+        assert got == pytest.approx(expected, rel=0.03), (i, got, expected)
+        # All scattering orders can only add radiance.
+        assert float(res_full.mean_intensity[i]) > got * 0.99
+
+
+def test_wavefront_matches_scalar_oracle_step_cloud():
+    """Heterogeneous step cloud + absorbing + Lambertian surface vs scalar MC."""
+    from tests.reference_mc import trace_photons
+    from i3rc_tpu.core.optics import flatten_optics
+    from i3rc_tpu.core.inverse_phase import inverse_phase_function_table
+
+    g, ssa_v, albedo = 0.85, 0.99, 0.2
+    table = hg_table(g)
+    n_col, n_lay = 32, 8
+    thickness = 250.0
+    ext = np.where(np.arange(n_col)[:, None, None] < 16, 2.0, 18.0) / thickness
+    ext = ext * np.ones((n_col, 1, n_lay))
+    dom = Domain.create(np.linspace(0, 500, n_col + 1), [0.0, 500.0],
+                        np.linspace(0, thickness, n_lay + 1))
+    dom = dom.add_component("cloud", ext, np.full_like(ext, ssa_v),
+                            np.zeros(ext.shape, np.int32), table)
+
+    mu0, phi0 = 0.5, 0.0
+    integ = Integrator.create(dom, surface_albedo=albedo)
+    n_batches = 4
+    f_up, f_dn, f_ab = [], [], []
+    for b in range(n_batches):
+        res = integ.compute(jax.random.PRNGKey(100 + b),
+                            PhotonSource.directional(mu0, np.rad2deg(phi0)), 50_000)
+        f_up.append(float(res.mean_flux_up))
+        f_dn.append(float(res.mean_flux_down))
+        f_ab.append(float(res.mean_flux_absorbed))
+
+    flat = flatten_optics(dom)
+    inv = [inverse_phase_function_table(t, 2001) for t in flat.forward_tables]
+    rng = np.random.default_rng(7)
+    n_ref = 6000
+    raw = trace_photons(rng, dom.x_edges, dom.y_edges, dom.z_edges,
+                        flat.total_ext.astype(np.float64),
+                        flat.cumulative_ext.astype(np.float64),
+                        flat.ssa.astype(np.float64), flat.phase_index,
+                        inv, n_ref, mu0, phi0, surface_albedo=albedo)
+    ref_up = raw["flux_up"].sum() / n_ref
+    ref_dn = raw["flux_down"].sum() / n_ref
+    ref_ab = raw["flux_absorbed"].sum() / n_ref
+
+    # Combined sigma: scalar MC dominates (6000 photons)
+    for ours, ref, label in ((np.mean(f_up), ref_up, "Fup"),
+                             (np.mean(f_dn), ref_dn, "Fdn"),
+                             (np.mean(f_ab), ref_ab, "Fabs")):
+        sigma = np.sqrt(max(ref * (1 - min(ref, 0.99)), 0.01) / n_ref)
+        assert abs(ours - ref) < 3.5 * sigma, (label, ours, ref, sigma)
+
+
+def test_batch_to_batch_variance_sane():
+    """Independent batches differ (RNG decorrelation) but agree statistically."""
+    dom = slab_domain(2.0, ssa=1.0)
+    integ = Integrator.create(dom)
+    src = PhotonSource.directional(0.5, 0.0)
+    vals = [float(integ.compute(jax.random.PRNGKey(b), src, 20_000).mean_flux_up)
+            for b in range(4)]
+    assert len(set(vals)) == 4  # decorrelated streams
+    assert np.std(vals) < 0.01
