@@ -35,6 +35,34 @@ def _mu_value_grid(pf: PhaseFunction):
     return mus, values
 
 
+def inverse_cdf_mu(pf: PhaseFunction, p: np.ndarray) -> np.ndarray:
+    """Scattering-angle cosine at arbitrary CDF values p in [0, 1].
+
+    p = 0 is backscatter (mu = -1), p = 1 exact forward (mu = +1).  This is
+    the reference's analytic piecewise-quadratic inversion
+    (inversePhaseFunctions.f95:139-168) evaluated in mu, before the acos —
+    used both for the theta tables and the TPU kernel's piecewise-cubic fit
+    of mu(p), which is smooth where theta(p) has a sqrt singularity at the
+    forward peak.
+    """
+    mus, values = _mu_value_grid(pf)
+    cdf = np.concatenate(([0.0], np.cumsum((mus[1:] - mus[:-1]) * 0.5 * (values[1:] + values[:-1]))))
+    cdf = cdf / cdf[-1]
+    idx = find_index(p, cdf)
+    c0, c1 = cdf[idx], cdf[idx + 1]
+    m0, m1 = mus[idx], mus[idx + 1]
+    v0, v1 = values[idx], values[idx + 1]
+    dc = c1 - c0
+    flat_cdf = dc <= np.spacing(np.abs(c0) + 1.0)
+    flat_val = np.abs(v0 - v1) <= np.spacing(np.abs(v0) + 1e-30)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mu_linear = m0 + (m1 - m0) * (p - c0) / dc
+        radicand = np.maximum(((c1 - p) * v0**2 + (p - c0) * v1**2) / dc, 0.0)
+        mu_general = m0 + (m1 - m0) / (v0 - v1) * (v0 - np.sqrt(radicand))
+    mu = np.where(flat_cdf, m0, np.where(flat_val, mu_linear, mu_general))
+    return np.clip(mu, -1.0, 1.0)
+
+
 def inverse_phase_function(pf: PhaseFunction, n_steps: int) -> np.ndarray:
     """Scattering angle (radians) at n_steps CDF values uniform on [0, 1].
 

@@ -28,7 +28,11 @@ from i3rc_tpu.core.optics import Domain, FlatOptics, flatten_optics
 from i3rc_tpu.core.surface import BRDF_REGISTRY, SurfaceDescription
 from i3rc_tpu.integrators.config import IntegratorConfig
 from i3rc_tpu.integrators.results import Results, column_weights, normalize_tallies
-from i3rc_tpu.integrators.tables import build_forward_tables, build_inverse_tables, hybridize
+from i3rc_tpu.integrators.tables import (
+    build_forward_tables,
+    build_inverse_cubic,
+    hybridize,
+)
 from i3rc_tpu.integrators.wavefront import (
     DeviceOptics,
     DeviceTables,
@@ -89,19 +93,30 @@ class Integrator:
         geom = GridGeometry.from_edges(domain.x_edges, domain.y_edges, domain.z_edges,
                                        domain.xy_regularly_spaced, domain.z_regularly_spaced)
 
-        # Device optics (flat, C-order).
+        # Device optics: per-cell quantities packed as columns of one matrix
+        # so the kernel fetches everything with a single fused one-hot matmul
+        # (see wavefront.py docstring); flat copies back the serial fallback.
+        n_cells = flat.total_ext.size
+        n_comp = flat.n_components
+        cell_matrix = np.concatenate([
+            flat.total_ext.reshape(n_cells, 1),
+            flat.cumulative_ext.reshape(n_cells, n_comp),
+            flat.ssa.reshape(n_cells, n_comp),
+            flat.phase_index.reshape(n_cells, n_comp).astype(np.float32),
+        ], axis=1)
         optics = DeviceOptics(
+            cell_matrix=jnp.asarray(cell_matrix),
             total_ext=jnp.asarray(flat.total_ext.ravel()),
             cumulative_ext=jnp.asarray(flat.cumulative_ext.ravel()),
             ssa=jnp.asarray(flat.ssa.ravel()),
             phase_index=jnp.asarray(flat.phase_index.ravel(), dtype=jnp.int32),
-            n_components=flat.n_components,
+            n_components=n_comp,
             max_extinction=flat.max_extinction,
         )
 
-        # Tables: inverse always; forward only when intensity is requested.
+        # Tables: inverse CDF always; forward only when intensity is requested.
         compute_intensity = intensity_mus is not None
-        inv = build_inverse_tables(flat, config.min_inverse_table_size)
+        cubic = build_inverse_cubic(flat)
         fwd = fwd_orig = None
         if compute_intensity:
             fwd_orig_np = build_forward_tables(flat, config.min_forward_table_size)
@@ -111,11 +126,11 @@ class Integrator:
             fwd = jnp.asarray(fwd_np.ravel())
             fwd_orig = jnp.asarray(fwd_orig_np.ravel())
         tables = DeviceTables(
-            inverse=jnp.asarray(inv.ravel()),
-            n_inverse_steps=inv.shape[2],
+            inverse_cubic=jnp.asarray(cubic.reshape(-1, 4)),
+            n_segments=cubic.shape[2],
             forward=fwd, forward_orig=fwd_orig,
             n_forward_steps=config.min_forward_table_size if compute_intensity else 0,
-            max_entries=inv.shape[1],
+            max_entries=cubic.shape[1],
         )
 
         if surface is not None:
@@ -183,25 +198,27 @@ class Integrator:
         return (self.geometry.n_x, self.geometry.n_y, self.geometry.n_z)
 
     # ------------------------------------------------------------------
-    def batch_tracer(self, n_photons: int):
-        """The raw jittable (key, PhotonBatch) -> RawTallies function."""
+    def batch_tracer(self, n_photons: int, n_lanes: int | None = None):
+        """The raw jittable (key, PhotonBatch, source) -> RawTallies function."""
         return make_batch_tracer(self.geometry, self.optics, self.tables,
                                  self.surface, self.intensity, self.config,
-                                 n_photons)
+                                 n_photons, n_lanes)
 
-    def batch_fn(self, source: PhotonSource, n_photons: int):
+    def batch_fn(self, source: PhotonSource, n_photons: int,
+                 n_lanes: int | None = None):
         """Compiled (key) -> Results for one batch; cached per (source, size)."""
         cache = self.__dict__.setdefault("_compiled_cache", {})
-        cache_key = (source, int(n_photons))
+        lanes = int(n_lanes or min(n_photons, 1 << 20))
+        cache_key = (source, int(n_photons), lanes)
         if cache_key not in cache:
             n_dirs = self.intensity.n_directions if self.intensity else 0
-            tracer = self.batch_tracer(n_photons)
+            tracer = self.batch_tracer(n_photons, lanes)
 
             @jax.jit
             def run(k):
                 k_src, k_trace = jax.random.split(k)
-                batch = source.sample(k_src, n_photons)
-                raw = tracer(k_trace, batch)
+                batch = source.sample(k_src, lanes)
+                raw = tracer(k_trace, batch, source)
                 return normalize_tallies(raw, self.geometry.n_x, self.geometry.n_y,
                                          self.geometry.n_z, n_dirs,
                                          self.optics.n_components,

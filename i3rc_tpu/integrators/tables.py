@@ -39,6 +39,49 @@ def build_inverse_tables(optics: FlatOptics, n_steps: int) -> np.ndarray:
     return _pad_stack(mats, n_steps)
 
 
+def build_inverse_cubic(optics: FlatOptics, n_segments: int = 256,
+                        samples_per_segment: int = 9) -> np.ndarray:
+    """Piecewise-cubic fit of the inverse CDF in mu(p) for the TPU kernel.
+
+    Returns (n_components, max_entries, n_segments, 4) coefficients c such
+    that mu = c0 + c1 t + c2 t^2 + c3 t^3 with t = p * S - segment in [0, 1).
+    Least-squares fit through samples of the reference's exact analytic
+    inversion (core/inverse_phase.inverse_cdf_mu) per segment.
+
+    Fitting mu(p) rather than interpolating theta(p) (the reference's 9001-
+    point linear table, monteCarloRadiativeTransfer.f95:1390-1417) is the
+    TPU-native form: mu(p) is smooth — theta(p) has a sqrt singularity at
+    the forward peak — and the 4-coefficient row is a single fused one-hot
+    matmul read instead of two serialized gathers from a 9001-point table.
+    """
+    from i3rc_tpu.core.inverse_phase import inverse_cdf_mu
+
+    s = n_segments
+    m = samples_per_segment
+    t = np.linspace(0.0, 1.0, m)
+    design = np.stack([np.ones(m), t, t**2, t**3], axis=1)      # (m, 4)
+    pinv = np.linalg.pinv(design)                                # (4, m)
+    # Global sample grid: segment starts + local offsets.
+    p = (np.arange(s)[:, None] + t[None, :]).reshape(-1) / s     # (s*m,)
+    p = np.clip(p, 0.0, 1.0)
+
+    per_comp = []
+    for table in optics.forward_tables:
+        rows = []
+        for pf in table.phase_functions:
+            mu = inverse_cdf_mu(pf, p).reshape(s, m)             # (s, m)
+            coeffs = mu @ pinv.T                                  # (s, 4)
+            rows.append(coeffs)
+        per_comp.append(np.stack(rows))                           # (entries, s, 4)
+    max_entries = max(c.shape[0] for c in per_comp)
+    out = np.zeros((len(per_comp), max_entries, s, 4), dtype=np.float32)
+    for i, c in enumerate(per_comp):
+        out[i, : c.shape[0]] = c
+        if c.shape[0] < max_entries:
+            out[i, c.shape[0]:] = c[-1]
+    return out
+
+
 def build_forward_tables(optics: FlatOptics, n_steps: int) -> np.ndarray:
     """(n_components, max_entries, n_steps) phase values on [0, pi]."""
     angles = np.linspace(0.0, np.pi, n_steps)

@@ -6,36 +6,50 @@ a time through a nested photonLoop/scatteringLoop; here a wide
 structure-of-arrays batch of photons advances together, one transport event
 per iteration of a masked ``lax.while_loop``:
 
+  refill dead lanes from the photon budget ("persistent photons") ->
   sample free path -> move (voxel DDA or maximum cross-section jump) ->
   classify (exit top / exit bottom / collision) -> tally -> surface
   reflection or scattering (component pick, absorption, local-estimate
   radiance, Russian roulette, inverse-CDF angle, direction rotation)
 
-Dead lanes are masked through; the loop ends when every lane is dead or the
-event budget is reached (survivors count as bad, the reference's nBad
-diagnostic :451,488).
-
 Random numbers are counter-based: each event step folds the batch key and
 draws whole (lanes,) vectors, so the stream depends only on (seed, batch,
-event) — never on sharding (SURVEY.md section 5).
+event, lane) — never on the device mesh (SURVEY.md section 5).
+
+TPU-specific design (motivated by measurement — see PERF_NOTES.md):
+data-dependent gathers/scatters serialize at ~8 ns/element on TPU, so the
+kernel avoids them wherever a fused one-hot matmul can ride the MXU:
+
+  * ALL per-cell quantities (total extinction, cumulative component
+    fractions, albedos, phase indices) are packed as columns of one
+    (n_cells, m) matrix and fetched with a single one-hot matmul per event;
+  * the scattering angle comes from a piecewise-cubic fit of the inverse
+    CDF in mu(p) (256 segments x 4 coefficients, exact to ~3e-7 in mu
+    against the reference's analytic inversion) — one narrow one-hot read
+    instead of two gathers into a 9001-point table;
+  * all four tallies (flux up/down/absorbed, volume absorption) accumulate
+    through a single one-hot transpose-matmul into an (n_cells, 4) buffer,
+    reduced to columns once per batch;
+  * dead lanes are refilled with fresh photons from the batch budget, so
+    lane occupancy stays high instead of draining into a divergence tail.
 
 Algorithmic deltas vs the Fortran, all physics-preserving (SURVEY.md sec. 7):
   * Azimuth rotation uses the direct spherical rotation formula with
     phi = 2 pi u instead of NEXT_DIRECT's rejection loop (:2086-2113) —
-    mathematically the same distribution, branch-free.
+    the same distribution, branch-free.
   * Directions are renormalized after each rotation (float32 drift guard).
   * In max cross-section mode the collision cell is recomputed from the
     post-jump position; the reference reuses indices from the previous event
     (:586-588 reads totalExt at stale xIndex/yIndex/zIndex — a defect for
     heterogeneous domains).
-  * The inverse-CDF lookup interpolates on the grid the table was built on
-    (i/(n-1)); the reference mixes 1/n and 1/(n-1) spacings (:1405-1413).
+  * The scattering angle interpolates mu(p) (smooth) rather than theta(p)
+    (sqrt singularity at the forward peak); both approximate the same exact
+    inverse CDF, ours ~100x closer.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -43,7 +57,8 @@ import numpy as np
 
 from i3rc_tpu.core.rng import TINY, exponential_deviate
 from i3rc_tpu.ops.dda import BAD, EXIT_BOT, EXIT_TOP, SCATTER, GridGeometry, trace_extinction
-from i3rc_tpu.ops.tally import tally_add
+from i3rc_tpu.ops.gather import ONEHOT_MAX_ROWS, read_rows
+from i3rc_tpu.ops.tally import tally_add, tally_multi
 
 _MIN_MU = jnp.float32(1e-6)  # surface-reflection vertical floor (:542-549)
 PI = np.pi
@@ -51,22 +66,37 @@ PI = np.pi
 
 @dataclass(frozen=True)
 class DeviceOptics:
-    """Flattened optics on device; all C-order raveled for 1-D gathers."""
+    """Flattened optics on device.
 
-    total_ext: jax.Array      # (nx*ny*nz,)
-    cumulative_ext: jax.Array  # (nx*ny*nz*ncomp,)
-    ssa: jax.Array            # (nx*ny*nz*ncomp,)
-    phase_index: jax.Array    # (nx*ny*nz*ncomp,) int32
+    ``cell_matrix`` packs every per-cell quantity as float32 columns:
+      [ total_ext | cum_1..cum_n | ssa_1..ssa_n | pfidx_1..pfidx_n ]
+    (phase indices are small ints, exact in float32).  The flat arrays remain
+    for the serialized-gather fallback on very large domains.
+    """
+
+    cell_matrix: jax.Array     # (n_cells, 1 + 3*ncomp)
+    total_ext: jax.Array       # (n_cells,)
+    cumulative_ext: jax.Array  # (n_cells*ncomp,)
+    ssa: jax.Array             # (n_cells*ncomp,)
+    phase_index: jax.Array     # (n_cells*ncomp,) int32
     n_components: int
     max_extinction: float
+
+    @property
+    def n_cells(self) -> int:
+        return self.total_ext.shape[0]
+
+    @property
+    def use_onehot(self) -> bool:
+        return self.n_cells <= ONEHOT_MAX_ROWS
 
 
 @dataclass(frozen=True)
 class DeviceTables:
-    inverse: jax.Array        # (ncomp*max_entries*n_inv,) angles
-    n_inverse_steps: int
-    forward: jax.Array | None        # (ncomp*max_entries*n_fwd,) values (maybe hybrid)
-    forward_orig: jax.Array | None   # original forward values (for low orders)
+    inverse_cubic: jax.Array   # (ncomp*max_entries*n_segments, 4) mu(p) fit
+    n_segments: int
+    forward: jax.Array | None        # (ncomp*max_entries*n_fwd,) (maybe hybrid)
+    forward_orig: jax.Array | None   # original forward values (low orders)
     n_forward_steps: int
     max_entries: int
 
@@ -92,13 +122,13 @@ class SurfaceSpec:
 class IntensitySpec:
     directions: jax.Array      # (3, D) unit vectors
     abs_mu: jax.Array          # (D,)
-    exit_status: jax.Array     # (D,) int32: EXIT_TOP for up-going, EXIT_BOT for down
+    exit_status: jax.Array     # (D,) int32: EXIT_TOP for up-going, EXIT_BOT down
     n_directions: int
 
 
 @dataclass(frozen=True)
 class RawTallies:
-    """Un-normalized accumulators (sum of photon weights)."""
+    """Un-normalized accumulators (sums of photon weights)."""
 
     flux_up: jax.Array          # (nx*ny,)
     flux_down: jax.Array
@@ -154,13 +184,6 @@ def rotate_direction(ux, uy, uz, cos_scat, u_azimuth):
     return nx * norm, ny * norm, nz * norm
 
 
-def _gather_component_arrays(optics: DeviceOptics, flat_cell):
-    """Per-lane (L, ncomp) cumulative extinction from flat cell indices."""
-    base = flat_cell * optics.n_components
-    offs = jnp.arange(optics.n_components, dtype=jnp.int32)
-    return optics.cumulative_ext[base[:, None] + offs[None, :]]
-
-
 def _table_lookup(flat_table, row_base, position, n_steps):
     """Linear interpolation into rows of a flattened (rows, n_steps) table.
 
@@ -176,22 +199,53 @@ def _table_lookup(flat_table, row_base, position, n_steps):
 
 def make_batch_tracer(geom: GridGeometry, optics: DeviceOptics, tables: DeviceTables,
                       surface: SurfaceSpec, intensity: IntensitySpec | None,
-                      config, n_photons: int):
+                      config, n_photons: int, n_lanes: int | None = None):
     """Build the jittable single-batch transport function.
 
-    Returns trace(key, batch: PhotonBatch) -> RawTallies.  Geometry, optics
-    and configuration are closed over (one specialization per Integrator).
+    Returns trace(key, batch: PhotonBatch) -> RawTallies.  ``n_lanes`` is the
+    wavefront width; when smaller than n_photons, dead lanes are refilled
+    from the remaining budget each event ("persistent photons").
     """
     n_x, n_y, n_z = geom.n_x, geom.n_y, geom.n_z
-    n_cols = n_x * n_y
     n_comp = optics.n_components
     compute_intensity = intensity is not None
     n_dirs = intensity.n_directions if compute_intensity else 0
-    max_crossings = config.max_crossings or 8 * (n_x + n_y + n_z)
-    max_int_crossings = config.max_intensity_crossings or 8 * (n_x + n_y + n_z)
+    # Auto crossing budgets: grazing trajectories cross x/y faces many times
+    # per unit of vertical travel (periodic wrap), so small grids still need
+    # a generous floor; over-budget lanes are dropped and counted bad.
+    max_crossings = config.max_crossings or max(1024, 8 * (n_x + n_y + n_z))
+    max_int_crossings = config.max_intensity_crossings or max(1024, 8 * (n_x + n_y + n_z))
     use_rt = config.use_ray_tracing
     inv_max_ext = 1.0 / max(optics.max_extinction, 1e-30)
     comp_offsets = jnp.arange(n_comp, dtype=jnp.int32)
+    L = int(n_lanes or min(n_photons, 1 << 20))
+    n_cells = optics.n_cells
+    # Safety cap on loop iterations: with refill, the loop needs about
+    # (n_photons / L) * mean_orders + tail iterations.
+    max_iters = config.max_events * (n_photons // L + 2)
+
+    def read_cell_data(flat_cell):
+        """One fused read of every per-cell quantity: (L, 1 + 3*ncomp)."""
+        if optics.use_onehot:
+            return read_rows(optics.cell_matrix, flat_cell)
+        base = flat_cell * n_comp
+        cols = [optics.total_ext[flat_cell]]
+        cum = optics.cumulative_ext[base[:, None] + comp_offsets[None, :]]
+        ssa = optics.ssa[base[:, None] + comp_offsets[None, :]]
+        pfi = optics.phase_index[base[:, None] + comp_offsets[None, :]]
+        return jnp.concatenate([cols[0][:, None], cum, ssa,
+                                pfi.astype(jnp.float32)], axis=1)
+
+    def sample_cos_scat(comp, pf_idx, u):
+        """Scattering-angle cosine from the piecewise-cubic inverse CDF."""
+        s = tables.n_segments
+        pos = jnp.clip(u, 0.0, 1.0) * s
+        seg = jnp.clip(pos.astype(jnp.int32), 0, s - 1)
+        t = pos - seg.astype(pos.dtype)
+        row = (comp * tables.max_entries + pf_idx) * s + seg
+        c = read_rows(tables.inverse_cubic, row)  # (L, 4)
+        mu = ((c[:, 3] * t + c[:, 2]) * t + c[:, 1]) * t + c[:, 0]
+        return jnp.clip(mu, -1.0, 1.0)
 
     def surface_reflectance(x, y, mu_in, mu_out, phi_in, phi_out):
         """computeSurfaceReflectance analog (surfaceProperties.f95:121-148)."""
@@ -209,7 +263,7 @@ def make_batch_tracer(geom: GridGeometry, optics: DeviceOptics, tables: DeviceTa
         return surface.brdf_fn(params, mu_in, mu_out, phi_in, phi_out)
 
     def intensity_contribution(key, mask, is_surface, x, y, z, ix, iy, iz,
-                               ux, uy, uz, weight, comp, order, tallies):
+                               ux, uy, uz, weight, comp, pf_idx, order, tallies):
         """Local estimation toward each detector direction.
 
         Mirrors computeIntensityContribution (:1419-1611): per direction,
@@ -220,7 +274,6 @@ def make_batch_tracer(geom: GridGeometry, optics: DeviceOptics, tables: DeviceTa
         Tally lands at the column where the directional trace leaves the
         domain (xIndexF/yIndexF in the reference).
         """
-        L = x.shape[0]
         D = n_dirs
         dirs = intensity.directions  # (3, D)
         # Scattering angle photon -> detector: acos of the projection (:1487-1489).
@@ -229,8 +282,6 @@ def make_batch_tracer(geom: GridGeometry, optics: DeviceOptics, tables: DeviceTa
         ang = jnp.arccos(proj)  # (L, D)
 
         # Phase value: rows selected by (component, phase index) (:1495-1508).
-        flat_cell = (ix * n_y + iy) * n_z + iz
-        pf_idx = optics.phase_index[flat_cell * n_comp + comp]
         row = (comp * tables.max_entries + pf_idx) * tables.n_forward_steps
         pos = ang / PI
         pf_val = _table_lookup(tables.forward, row[:, None], pos, tables.n_forward_steps)
@@ -268,7 +319,8 @@ def make_batch_tracer(geom: GridGeometry, optics: DeviceOptics, tables: DeviceTa
             tile_l(x), tile_l(y), tile_l(z),
             tile_l(ix), tile_l(iy), tile_l(iz),
             tile_d(dirs[0]), tile_d(dirs[1]), tile_d(dirs[2]),
-            target, mask_ld, max_int_crossings)
+            target, mask_ld, max_int_crossings,
+            cell_matrix=optics.cell_matrix if optics.use_onehot else None)
         del fx, fy, fz, fiz
         escaped = (status == tile_d(intensity.exit_status)).reshape(L, D)
         tau = tau.reshape(L, D)
@@ -309,14 +361,36 @@ def make_batch_tracer(geom: GridGeometry, optics: DeviceOptics, tables: DeviceTa
             tallies["intensity_by_component"], byc_idx, contrib.reshape(L * D))
         return tallies
 
-    def event_step(key, k, state):
-        (alive, x, y, z, ux, uy, uz, w, ix, iy, iz, order, tallies) = state
+    def event_step(key, source, k, state):
+        (alive, launched, x, y, z, ux, uy, uz, w,
+         ix, iy, iz, order, tallies) = state
         ek = jax.random.fold_in(key, k)
-        ks = jax.random.split(ek, 8)
-        L = x.shape[0]
-        u = [jax.random.uniform(kk, (L,), dtype=jnp.float32) for kk in ks[:7]]
-        (u_tau, u_srf_mu, u_srf_phi, u_comp, u_rr, u_scat, u_chi) = u
-        k_int = ks[7]
+        ks = jax.random.split(ek, 10)
+        u = [jax.random.uniform(kk, (L,), dtype=jnp.float32) for kk in ks[:8]]
+        (u_tau, u_srf_mu, u_srf_phi, u_comp, u_rr, u_scat, u_chi, u_accept) = u
+        k_int, k_refill = ks[8], ks[9]
+
+        # --- persistent-photon refill of dead lanes -------------------------
+        if n_photons > L:
+            dead = ~alive
+            dead_i = dead.astype(jnp.int32)
+            new_id = launched + jnp.cumsum(dead_i) - dead_i
+            refill = dead & (new_id < n_photons)
+            fresh = source.sample(k_refill, L)
+            x = jnp.where(refill, geom.x0 + fresh.x * (geom.x_max - geom.x0), x)
+            y = jnp.where(refill, geom.y0 + fresh.y * (geom.y_max - geom.y0), y)
+            z = jnp.where(refill, geom.z0 + fresh.z * (geom.z_max - geom.z0), z)
+            fux, fuy, fuz = make_direction_cosines(fresh.mu, fresh.phi)
+            ux = jnp.where(refill, fux, ux)
+            uy = jnp.where(refill, fuy, uy)
+            uz = jnp.where(refill, fuz, uz)
+            w = jnp.where(refill, 1.0, w)
+            order = jnp.where(refill, 0, order)
+            ix = jnp.where(refill, geom.locate_x(x), ix)
+            iy = jnp.where(refill, geom.locate_y(y), iy)
+            iz = jnp.where(refill, geom.locate_z(z), iz)
+            launched = launched + jnp.sum(refill.astype(jnp.int32))
+            alive = alive | refill
 
         tau = exponential_deviate(u_tau)
 
@@ -324,11 +398,11 @@ def make_batch_tracer(geom: GridGeometry, optics: DeviceOptics, tables: DeviceTa
             # Ray tracing: travel until tau extinction accumulates (:481-487).
             (rx, ry, rz, rix, riy, riz, _tau_acc, status) = trace_extinction(
                 geom, optics.total_ext, x, y, z, ix, iy, iz, ux, uy, uz,
-                tau, alive, max_crossings)
+                tau, alive, max_crossings,
+                cell_matrix=optics.cell_matrix if optics.use_onehot else None)
             exit_top = alive & (status == EXIT_TOP)
             exit_bot = alive & (status == EXIT_BOT)
             collide = alive & (status == SCATTER)
-            physical = collide  # every ray-traced collision is physical
             bad = alive & (status == BAD)
         else:
             # Maximum cross-section jump (:492-497).
@@ -340,30 +414,34 @@ def make_batch_tracer(geom: GridGeometry, optics: DeviceOptics, tables: DeviceTa
             exit_bot = alive & ~exit_top & (pz <= geom.z0)
             collide = alive & ~exit_top & ~exit_bot
             # Trace back to the boundary plane for the tally column (:504-527).
-            bt_top = jnp.abs((pz - geom.z_max) / jnp.where(jnp.abs(uz) > 1e-30, uz, 1.0))
-            bt_bot = jnp.abs((pz - geom.z0) / jnp.where(jnp.abs(uz) > 1e-30, uz, 1.0))
-            bt = jnp.where(exit_top, bt_top, bt_bot)
-            rx = jnp.where(exit_top | exit_bot,
-                           geom.wrap_x(px - ux * bt), geom.wrap_x(px))
-            ry = jnp.where(exit_top | exit_bot,
-                           geom.wrap_y(py - uy * bt), geom.wrap_y(py))
+            safe_uz = jnp.where(jnp.abs(uz) > 1e-30, uz, 1.0)
+            bt = jnp.where(exit_top, (pz - geom.z_max) / safe_uz,
+                           (pz - geom.z0) / safe_uz)
+            bt = jnp.abs(bt)
+            hit_boundary = exit_top | exit_bot
+            rx = geom.wrap_x(jnp.where(hit_boundary, px - ux * bt, px))
+            ry = geom.wrap_y(jnp.where(hit_boundary, py - uy * bt, py))
             rz = jnp.where(exit_top, geom.z_max, jnp.where(exit_bot, geom.z0, pz))
             rix = geom.locate_x(rx)
             riy = geom.locate_y(ry)
             riz = geom.locate_z(rz)
+            bad = jnp.zeros_like(alive)
+
+        flat_cell = (rix * n_y + riy) * n_z + riz
+
+        # --- one fused read of all per-cell optics --------------------------
+        cell = read_cell_data(flat_cell)           # (L, 1 + 3*ncomp)
+        cell_ext = cell[:, 0]
+        cum = cell[:, 1:1 + n_comp]
+        ssa_cols = cell[:, 1 + n_comp:1 + 2 * n_comp]
+        pfi_cols = cell[:, 1 + 2 * n_comp:1 + 3 * n_comp]
+
+        if use_rt:
+            physical = collide  # every ray-traced collision is physical
+        else:
             # Physical vs mathematical collision (:586-588) — cell re-located
             # at the new position (the reference reuses stale indices here).
-            flat_c = (rix * n_y + riy) * n_z + riz
-            cell_ext = optics.total_ext[flat_c]
-            physical = collide & (u_comp < cell_ext * inv_max_ext)
-            # u_comp is reused below only on physical lanes with a fresh draw:
-            bad = jnp.zeros_like(alive) & alive
-
-        col = rix * n_y + riy
-
-        # --- boundary tallies (:499-531) -----------------------------------
-        tallies["flux_up"] = tally_add(tallies["flux_up"], col, w, exit_top)
-        tallies["flux_down"] = tally_add(tallies["flux_down"], col, w, exit_bot)
+            physical = collide & (u_accept < cell_ext * inv_max_ext)
 
         # --- surface reflection (:515-580) ----------------------------------
         new_mu_s = jnp.maximum(jnp.sqrt(u_srf_mu), _MIN_MU)  # mu = sqrt(u) (:547)
@@ -374,22 +452,37 @@ def make_batch_tracer(geom: GridGeometry, optics: DeviceOptics, tables: DeviceTa
         surf_alive = exit_bot & (w_srf > TINY)
         sux, suy, suz = make_direction_cosines(new_mu_s, new_phi_s)
 
-        # --- physical collision (:590-688) -----------------------------------
-        flat_cell = (rix * n_y + riy) * n_z + riz
-        base = flat_cell * n_comp
-        cum = optics.cumulative_ext[base[:, None] + comp_offsets[None, :]]
-        u_pick = jax.random.uniform(jax.random.fold_in(ek, 101), (L,), dtype=jnp.float32) \
-            if not use_rt else u_comp
-        comp = jnp.sum((u_pick[:, None] >= cum).astype(jnp.int32), axis=1)
+        # --- physical collision: component pick + absorption (:634-649) -----
+        comp = jnp.sum((u_comp[:, None] >= cum).astype(jnp.int32), axis=1)
         comp = jnp.clip(comp, 0, n_comp - 1)
-        ssa_v = optics.ssa[base + comp]
+        if n_comp == 1:
+            ssa_v = ssa_cols[:, 0]
+            pf_idx = pfi_cols[:, 0].astype(jnp.int32)
+        else:
+            sel = jax.nn.one_hot(comp, n_comp, dtype=jnp.float32)
+            ssa_v = jnp.sum(ssa_cols * sel, axis=1)
+            pf_idx = jnp.sum(pfi_cols * sel, axis=1).astype(jnp.int32)
         absorbed = w * (1.0 - ssa_v)
-        tallies["flux_absorbed"] = tally_add(tallies["flux_absorbed"], col,
-                                             absorbed, physical)
-        tallies["volume_absorption"] = tally_add(tallies["volume_absorption"],
-                                                 flat_cell, absorbed, physical)
         w_sc = w * ssa_v
         order_next = order + (physical | exit_bot).astype(jnp.int32)
+
+        # --- all four tallies in one fused transpose-matmul ------------------
+        tally_vals = jnp.stack([
+            jnp.where(exit_top, w, 0.0),
+            jnp.where(exit_bot, w, 0.0),
+            jnp.where(physical, absorbed, 0.0),
+            jnp.where(physical, absorbed, 0.0),
+        ], axis=1)
+        if optics.use_onehot:
+            tallies["cells"] = tally_multi(tallies["cells"], flat_cell, tally_vals)
+        else:
+            col = rix * n_y + riy
+            tallies["flux_up"] = tally_add(tallies["flux_up"], col, w, exit_top)
+            tallies["flux_down"] = tally_add(tallies["flux_down"], col, w, exit_bot)
+            tallies["flux_absorbed"] = tally_add(tallies["flux_absorbed"], col,
+                                                 absorbed, physical)
+            tallies["volume_absorption"] = tally_add(tallies["volume_absorption"],
+                                                     flat_cell, absorbed, physical)
 
         # --- local-estimate radiance (:565-580 surface, :652-668 collision) --
         if compute_intensity:
@@ -397,7 +490,7 @@ def make_batch_tracer(geom: GridGeometry, optics: DeviceOptics, tables: DeviceTa
             w_event = jnp.where(exit_bot, w_srf, w_sc)
             tallies = intensity_contribution(
                 k_int, any_event, exit_bot, rx, ry, rz, rix, riy, riz,
-                ux, uy, uz, w_event, comp, order_next, tallies)
+                ux, uy, uz, w_event, comp, pf_idx, order_next, tallies)
 
         # --- Russian roulette (:673-679) --------------------------------------
         if config.use_russian_roulette:
@@ -408,13 +501,15 @@ def make_batch_tracer(geom: GridGeometry, optics: DeviceOptics, tables: DeviceTa
         scat_alive = physical & (w_sc > TINY)
 
         # --- scattering angle + rotation (:682-688) ----------------------------
-        pf_idx = optics.phase_index[base + comp]
-        row = (comp * tables.max_entries + pf_idx) * tables.n_inverse_steps
-        theta = _table_lookup(tables.inverse, row, u_scat, tables.n_inverse_steps)
-        nux, nuy, nuz = rotate_direction(ux, uy, uz, jnp.cos(theta), u_chi)
+        cos_scat = sample_cos_scat(comp, pf_idx, u_scat)
+        nux, nuy, nuz = rotate_direction(ux, uy, uz, cos_scat, u_chi)
+
+        # --- per-photon event budget (TPU bad-photon guard) --------------------
+        over_budget = (scat_alive | surf_alive) & (order_next >= config.max_events)
+        bad = bad | over_budget
 
         # --- commit per-lane updates -------------------------------------------
-        math_move = collide & ~physical if not use_rt else jnp.zeros_like(alive)
+        math_move = (collide & ~physical) if not use_rt else jnp.zeros_like(alive)
         moved = scat_alive | surf_alive | math_move
         x = jnp.where(moved, rx, x)
         y = jnp.where(moved, ry, y)
@@ -427,12 +522,11 @@ def make_batch_tracer(geom: GridGeometry, optics: DeviceOptics, tables: DeviceTa
         uz = jnp.where(scat_alive, nuz, jnp.where(surf_alive, suz, uz))
         w = jnp.where(physical, w_sc, jnp.where(exit_bot, w_srf, w))
         order = order_next
-        alive = scat_alive | surf_alive | math_move
+        alive = (scat_alive | surf_alive | math_move) & ~over_budget
         tallies["n_bad"] = tallies["n_bad"] + jnp.sum(bad).astype(jnp.int32)
-        return (alive, x, y, z, ux, uy, uz, w, ix, iy, iz, order, tallies)
+        return (alive, launched, x, y, z, ux, uy, uz, w, ix, iy, iz, order, tallies)
 
-    def trace(key, batch):
-        L = n_photons
+    def trace(key, batch, source=None):
         # Scale normalized entry positions to the domain (:464-466).
         x = geom.x0 + batch.x * (geom.x_max - geom.x0)
         y = geom.y0 + batch.y * (geom.y_max - geom.y0)
@@ -443,43 +537,62 @@ def make_batch_tracer(geom: GridGeometry, optics: DeviceOptics, tables: DeviceTa
         iz = geom.locate_z(z)
         w = jnp.ones(L, dtype=jnp.float32)
         order = jnp.zeros(L, dtype=jnp.int32)
-        alive = jnp.ones(L, dtype=bool)
+        lane_ids = jnp.arange(L, dtype=jnp.int32)
+        alive = lane_ids < n_photons
+        launched = jnp.int32(min(L, n_photons))
         tallies = {
-            "flux_up": jnp.zeros(n_cols, jnp.float32),
-            "flux_down": jnp.zeros(n_cols, jnp.float32),
-            "flux_absorbed": jnp.zeros(n_cols, jnp.float32),
-            "volume_absorption": jnp.zeros(n_cols * n_z, jnp.float32),
-            "intensity": jnp.zeros(n_cols * n_dirs if compute_intensity else 0,
+            "n_bad": jnp.zeros((), jnp.int32),
+            "intensity": jnp.zeros(n_x * n_y * n_dirs if compute_intensity else 0,
                                    jnp.float32),
             "intensity_by_component": jnp.zeros(
-                n_cols * n_dirs * (n_comp + 1) if compute_intensity else 0, jnp.float32),
+                n_x * n_y * n_dirs * (n_comp + 1) if compute_intensity else 0,
+                jnp.float32),
             "intensity_excess": jnp.zeros(
                 n_dirs * (n_comp + 1) if compute_intensity else 0, jnp.float32),
-            "n_bad": jnp.zeros((), jnp.int32),
         }
+        if optics.use_onehot:
+            tallies["cells"] = jnp.zeros((n_cells, 4), jnp.float32)
+        else:
+            tallies["flux_up"] = jnp.zeros(n_x * n_y, jnp.float32)
+            tallies["flux_down"] = jnp.zeros(n_x * n_y, jnp.float32)
+            tallies["flux_absorbed"] = jnp.zeros(n_x * n_y, jnp.float32)
+            tallies["volume_absorption"] = jnp.zeros(n_x * n_y * n_z, jnp.float32)
 
         def cond(carry):
             k, state = carry
-            return jnp.any(state[0]) & (k < config.max_events)
+            alive_, launched_ = state[0], state[1]
+            budget_left = launched_ < n_photons
+            return (jnp.any(alive_) | budget_left) & (k < max_iters)
 
         def body(carry):
             k, state = carry
-            return k + 1, event_step(key, k, state)
+            return k + 1, event_step(key, source, k, state)
 
-        state = (alive, x, y, z, ux, uy, uz, w, ix, iy, iz, order, tallies)
-        k_final, state = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
-        del k_final
+        state = (alive, launched, x, y, z, ux, uy, uz, w, ix, iy, iz, order, tallies)
+        _, state = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
         alive = state[0]
-        tallies = state[12]
-        # Lanes alive at the event budget vanish with their weight: count bad.
+        tallies = state[13]
+        # Lanes alive at the iteration cap vanish with their weight: count bad.
         n_bad = tallies["n_bad"] + jnp.sum(alive).astype(jnp.int32)
+
+        if optics.use_onehot:
+            cells = tallies["cells"].reshape(n_x * n_y, n_z, 4)
+            flux_up = jnp.sum(cells[:, :, 0], axis=1)
+            flux_down = jnp.sum(cells[:, :, 1], axis=1)
+            flux_absorbed = jnp.sum(cells[:, :, 2], axis=1)
+            volume_absorption = cells[:, :, 3].reshape(n_x * n_y * n_z)
+        else:
+            flux_up = tallies["flux_up"]
+            flux_down = tallies["flux_down"]
+            flux_absorbed = tallies["flux_absorbed"]
+            volume_absorption = tallies["volume_absorption"]
+
         return RawTallies(
-            flux_up=tallies["flux_up"], flux_down=tallies["flux_down"],
-            flux_absorbed=tallies["flux_absorbed"],
-            volume_absorption=tallies["volume_absorption"],
+            flux_up=flux_up, flux_down=flux_down, flux_absorbed=flux_absorbed,
+            volume_absorption=volume_absorption,
             intensity=tallies["intensity"],
             intensity_by_component=tallies["intensity_by_component"],
             intensity_excess=tallies["intensity_excess"],
-            n_photons=jnp.int32(L), n_bad=n_bad)
+            n_photons=jnp.int32(n_photons), n_bad=n_bad)
 
     return trace

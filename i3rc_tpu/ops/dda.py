@@ -122,7 +122,8 @@ def _spacing(x):
 
 def trace_extinction(geom: GridGeometry, total_ext_flat: jax.Array,
                      x, y, z, ix, iy, iz, ux, uy, uz,
-                     tau_target, active, max_crossings: int):
+                     tau_target, active, max_crossings: int,
+                     cell_matrix: jax.Array | None = None):
     """Trace lanes until tau_target extinction is accumulated or they exit.
 
     All arguments are per-lane arrays except geom/total_ext_flat/max_crossings.
@@ -162,8 +163,15 @@ def trace_extinction(geom: GridGeometry, total_ext_flat: jax.Array,
 
         bad = tracing & (step <= 0.0)  # :1711-1714
 
-        flat = (ix * n_y + iy) * n_z + iz
-        cell_ext = total_ext_flat[jnp.clip(flat, 0, total_ext_flat.shape[0] - 1)]
+        flat = jnp.clip((ix * n_y + iy) * n_z + iz, 0, total_ext_flat.shape[0] - 1)
+        if cell_matrix is not None:
+            # Fused one-hot matmul read: serialized gathers cost ~8 ns/lane
+            # on TPU (see ops/gather.py); the extinction column ride the MXU.
+            from i3rc_tpu.ops.gather import onehot_read
+
+            cell_ext = onehot_read(cell_matrix[:, :1], flat)[:, 0]
+        else:
+            cell_ext = total_ext_flat[flat]
 
         # Would this crossing overshoot the target optical depth?
         overshoot = tracing & ~bad & (tau + step * cell_ext > tau_target)

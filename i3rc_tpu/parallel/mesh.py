@@ -1,0 +1,109 @@
+"""Batch-level data parallelism over a TPU mesh.
+
+The reference's entire distributed backend is one 133-line MPI module:
+static batch partitioning across ranks, independent RNG streams per batch,
+and a single MPI_REDUCE(SUM) of the moment accumulators at the end
+(Code/multipleProcesses_mpi.f95; Example-Drivers/monteCarloDriver.f95:264-348).
+
+TPU-native mapping (SURVEY.md section 5):
+  * ranks            -> devices of a 1-D jax.sharding.Mesh (axis "batch")
+  * batchesPerProcessor loop -> lax.scan over each device's batch ids inside
+                        shard_map (compiled once, runs b/d times)
+  * (iseed, batch) MT19937 seeding -> fold_in(PRNGKey(seed), global_batch_id),
+    so results are bitwise identical for any device count (strictly stronger
+    than the reference, which only guarantees statistical independence)
+  * sumAcrossProcesses -> jax.lax.psum over the mesh axis (an allreduce; the
+    reference reduces to rank 0 only because only rank 0 writes output)
+  * MasterProc I/O   -> process_index() == 0 on multi-host deployments
+
+Like the reference (monteCarloDriver.f95:268-271), the number of batches is
+rounded up to divide evenly among devices.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from i3rc_tpu.core.rng import batch_key
+
+
+def default_mesh(devices=None) -> Mesh:
+    """1-D mesh over all (or the given) devices, axis name 'batch'."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    return Mesh(devices, axis_names=("batch",))
+
+
+@dataclass(frozen=True)
+class BatchStats:
+    """Mean and standard error over independent batches, per output field.
+
+    The (value, stderr) pairing is the reference's statistical contract:
+    mean = sum(x)/n, stderr = sqrt((sum(x^2)/n - mean^2)/(n-1))
+    (monteCarloDriver.f95:358-378).
+    """
+
+    mean: object    # pytree matching Results
+    stderr: object
+    n_batches: int
+
+    def scaled(self, solar_flux: float) -> "BatchStats":
+        """Scale by the incident solar flux (monteCarloDriver.f95:358-377)."""
+        scale = lambda a: a * solar_flux
+        return BatchStats(jax.tree.map(scale, self.mean),
+                          jax.tree.map(scale, self.stderr), self.n_batches)
+
+
+def run_batches(integrator, source, n_photons_per_batch: int, n_batches: int,
+                seed: int = 10, mesh: Mesh | None = None) -> BatchStats:
+    """Run independent photon batches across the mesh and reduce moments.
+
+    Results are independent of the device count: batch b always uses the
+    stream fold_in(PRNGKey(seed), b) regardless of which device runs it.
+    """
+    mesh = mesh or default_mesh()
+    n_dev = mesh.devices.size
+    n_batches = max(int(n_batches), 2)
+    per_dev = -(-n_batches // n_dev)      # round up to divide evenly (:268-271)
+    n_batches = per_dev * n_dev
+
+    batch_fn = integrator.batch_fn(source, n_photons_per_batch)
+    base_key = jax.random.PRNGKey(seed)
+
+    def worker(ids):  # ids: (per_dev,) this device's global batch indices
+        def body(carry, b):
+            res = batch_fn(jax.random.fold_in(base_key, b))
+            leaves = jax.tree.leaves(res)
+            s1 = [c + l.astype(jnp.float32) for c, l in zip(carry[0], leaves)]
+            s2 = [c + jnp.square(l.astype(jnp.float32)) for c, l in zip(carry[1], leaves)]
+            return (s1, s2), None
+
+        template = jax.eval_shape(batch_fn, base_key)
+        zeros = [jnp.zeros(l.shape, jnp.float32) for l in jax.tree.leaves(template)]
+        (s1, s2), _ = jax.lax.scan(body, (zeros, [z.copy() for z in zeros]), ids)
+        # sumAcrossProcesses analog — allreduce over the mesh axis.
+        s1 = [jax.lax.psum(a, "batch") for a in s1]
+        s2 = [jax.lax.psum(a, "batch") for a in s2]
+        return s1, s2
+
+    ids = jnp.arange(n_batches, dtype=jnp.int32)
+    # check_vma=False: the kernel's while_loop carries mix batch-varying
+    # photon state with replicated constants (initial z / status), which the
+    # varying-manual-axes checker rejects even though the program is correct.
+    shard = jax.shard_map(worker, mesh=mesh, in_specs=P("batch"), out_specs=P(),
+                          check_vma=False)
+    s1, s2 = jax.jit(shard)(ids)
+
+    template = jax.eval_shape(batch_fn, base_key)
+    treedef = jax.tree.structure(template)
+    mean_leaves = [a / n_batches for a in s1]
+    std_leaves = [jnp.sqrt(jnp.maximum(b / n_batches - jnp.square(a / n_batches), 0.0)
+                           / (n_batches - 1))
+                  for a, b in zip(s1, s2)]
+    return BatchStats(mean=jax.tree.unflatten(treedef, mean_leaves),
+                      stderr=jax.tree.unflatten(treedef, std_leaves),
+                      n_batches=n_batches)
