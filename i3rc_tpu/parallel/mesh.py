@@ -59,11 +59,18 @@ class BatchStats:
 
 
 def run_batches(integrator, source, n_photons_per_batch: int, n_batches: int,
-                seed: int = 10, mesh: Mesh | None = None) -> BatchStats:
+                seed: int = 10, mesh: Mesh | None = None, derive=None,
+                n_lanes: int | None = None) -> BatchStats:
     """Run independent photon batches across the mesh and reduce moments.
 
     Results are independent of the device count: batch b always uses the
     stream fold_in(PRNGKey(seed), b) regardless of which device runs it.
+
+    ``derive``, if given, maps a per-batch Results to an extra pytree whose
+    moments are accumulated alongside (e.g. domain means, whose standard
+    error across batches is not derivable from per-pixel moments — the
+    reference accumulates them separately, monteCarloDriver.f95:300-305).
+    The returned stats trees are then dicts {"results":..., "derived":...}.
     """
     mesh = mesh or default_mesh()
     n_dev = mesh.devices.size
@@ -71,7 +78,13 @@ def run_batches(integrator, source, n_photons_per_batch: int, n_batches: int,
     per_dev = -(-n_batches // n_dev)      # round up to divide evenly (:268-271)
     n_batches = per_dev * n_dev
 
-    batch_fn = integrator.batch_fn(source, n_photons_per_batch)
+    raw_fn = integrator.batch_fn(source, n_photons_per_batch, n_lanes=n_lanes)
+    if derive is None:
+        batch_fn = raw_fn
+    else:
+        def batch_fn(k):
+            res = raw_fn(k)
+            return {"results": res, "derived": derive(res)}
     base_key = jax.random.PRNGKey(seed)
 
     def worker(ids):  # ids: (per_dev,) this device's global batch indices
