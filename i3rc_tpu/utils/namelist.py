@@ -38,10 +38,16 @@ def _convert_token(tok: str):
 
 
 def _tokenize_values(text: str):
-    """Split a namelist value string into tokens, honoring quotes and n*value."""
+    """Split a namelist value string into tokens, honoring quotes, Fortran
+    complex literals (re, im), and repeat counts (n*value)."""
     tokens = []
-    for m in re.finditer(r"'[^']*'|\"[^\"]*\"|[^,\s]+", text):
+    for m in re.finditer(r"'[^']*'|\"[^\"]*\"|\([^()]*,[^()]*\)|[^,\s]+", text):
         tok = m.group(0)
+        cm = re.match(r"^\(\s*([^,\s]+)\s*,\s*([^,\s]+)\s*\)$", tok)
+        if cm:
+            tokens.append(complex(float(cm.group(1).lower().replace("d", "e")),
+                                  float(cm.group(2).lower().replace("d", "e"))))
+            continue
         rep = re.match(r"^(\d+)\*(.+)$", tok)
         if rep:
             tokens.extend([_convert_token(rep.group(2))] * int(rep.group(1)))
