@@ -30,8 +30,12 @@ _EXPORTS = {
     "PhaseFunctionTable": "i3rc_tpu.core.phase_functions",
     "SurfaceDescription": "i3rc_tpu.core.surface",
     "PhotonSource": "i3rc_tpu.core.illumination",
+    "KDistribution": "i3rc_tpu.core.k_distribution",
     "Integrator": "i3rc_tpu.integrators.integrator",
     "IntegratorConfig": "i3rc_tpu.integrators.integrator",
+    "Results": "i3rc_tpu.integrators.results",
+    "run_batches": "i3rc_tpu.parallel.mesh",
+    "run_broadband": "i3rc_tpu.integrators.spectral",
 }
 
 __all__ = sorted(_EXPORTS)

@@ -44,6 +44,27 @@ from i3rc_tpu.ops.dda import EXIT_BOT, EXIT_TOP, GridGeometry
 from i3rc_tpu.utils.errors import Status
 
 
+def device_optics_from_flat(flat: FlatOptics) -> DeviceOptics:
+    """Pack FlatOptics into the kernel's device pytree (see DeviceOptics)."""
+    n_cells = flat.total_ext.size
+    n_comp = flat.n_components
+    cell_matrix = np.concatenate([
+        flat.total_ext.reshape(n_cells, 1),
+        flat.cumulative_ext.reshape(n_cells, n_comp),
+        flat.ssa.reshape(n_cells, n_comp),
+        flat.phase_index.reshape(n_cells, n_comp).astype(np.float32),
+    ], axis=1)
+    return DeviceOptics(
+        cell_matrix=jnp.asarray(cell_matrix),
+        total_ext=jnp.asarray(flat.total_ext.ravel()),
+        cumulative_ext=jnp.asarray(flat.cumulative_ext.ravel()),
+        ssa=jnp.asarray(flat.ssa.ravel()),
+        phase_index=jnp.asarray(flat.phase_index.ravel(), dtype=jnp.int32),
+        max_extinction=jnp.float32(flat.max_extinction),
+        n_components=n_comp,
+    )
+
+
 @dataclass(frozen=True)
 class Integrator:
     """Immutable, device-resident radiative transfer solver for one domain."""
@@ -96,23 +117,7 @@ class Integrator:
         # Device optics: per-cell quantities packed as columns of one matrix
         # so the kernel fetches everything with a single fused one-hot matmul
         # (see wavefront.py docstring); flat copies back the serial fallback.
-        n_cells = flat.total_ext.size
-        n_comp = flat.n_components
-        cell_matrix = np.concatenate([
-            flat.total_ext.reshape(n_cells, 1),
-            flat.cumulative_ext.reshape(n_cells, n_comp),
-            flat.ssa.reshape(n_cells, n_comp),
-            flat.phase_index.reshape(n_cells, n_comp).astype(np.float32),
-        ], axis=1)
-        optics = DeviceOptics(
-            cell_matrix=jnp.asarray(cell_matrix),
-            total_ext=jnp.asarray(flat.total_ext.ravel()),
-            cumulative_ext=jnp.asarray(flat.cumulative_ext.ravel()),
-            ssa=jnp.asarray(flat.ssa.ravel()),
-            phase_index=jnp.asarray(flat.phase_index.ravel(), dtype=jnp.int32),
-            n_components=n_comp,
-            max_extinction=flat.max_extinction,
-        )
+        optics = device_optics_from_flat(flat)
 
         # Tables: inverse CDF always; forward only when intensity is requested.
         compute_intensity = intensity_mus is not None
@@ -206,7 +211,12 @@ class Integrator:
 
     def batch_fn(self, source: PhotonSource, n_photons: int,
                  n_lanes: int | None = None):
-        """Compiled (key) -> Results for one batch; cached per (source, size)."""
+        """Compiled (key[, optics]) -> Results; cached per (source, sizes).
+
+        The optional second argument swaps in a different DeviceOptics of the
+        same shape through the SAME executable — the spectral k-distribution
+        loop's mechanism (see spectral.py).
+        """
         cache = self.__dict__.setdefault("_compiled_cache", {})
         lanes = int(n_lanes or min(n_photons, 1 << 20))
         cache_key = (source, int(n_photons), lanes)
@@ -215,10 +225,10 @@ class Integrator:
             tracer = self.batch_tracer(n_photons, lanes)
 
             @jax.jit
-            def run(k):
+            def run(k, optics_override=None):
                 k_src, k_trace = jax.random.split(k)
                 batch = source.sample(k_src, lanes)
-                raw = tracer(k_trace, batch, source)
+                raw = tracer(k_trace, batch, source, optics_override)
                 return normalize_tallies(raw, self.geometry.n_x, self.geometry.n_y,
                                          self.geometry.n_z, n_dirs,
                                          self.optics.n_components,

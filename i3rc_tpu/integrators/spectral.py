@@ -1,0 +1,114 @@
+"""Broadband spectral loop over k-distributions.
+
+The capability the reference declares but never finished (kDistribution.f95
+stubs; BASELINE.json config 5: "Broadband LES cumulus: kDistribution
+spectral loop + surface BRDF, sharded TPU mesh").
+
+For each band: the domain gets a "Gas absorption" component whose 1D
+extinction profile is the band's k-point profile (ssa = 0, isotropic phase —
+matching how PhysicalPropertiesToDomain adds molecular absorption,
+PhysicalPropertiesToDomain.f95:330-347).  One Integrator (one XLA
+compilation) serves ALL the band's k points: per k, only the gas component's
+extinction changes, and the re-flattened optics are pushed through the same
+executable as a traced DeviceOptics argument.  Band results accumulate as
+
+    total = sum_bands spectral_fraction_b * sum_k w_bk * Results_bk
+
+with per-(band,k) batch statistics reduced over the device mesh like any
+other run.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import numpy as np
+
+from i3rc_tpu.core.k_distribution import KDistribution
+from i3rc_tpu.core.optics import Domain, flatten_optics
+from i3rc_tpu.core.phase_functions import PhaseFunction, PhaseFunctionTable
+from i3rc_tpu.integrators.integrator import Integrator, device_optics_from_flat
+from i3rc_tpu.parallel.mesh import default_mesh, run_batches
+
+GAS_COMPONENT_NAME = "Gas absorption"
+
+
+def domain_with_gas_component(domain: Domain, profile: np.ndarray) -> Domain:
+    """Domain plus a horizontally uniform pure-absorption component."""
+    gas_table = PhaseFunctionTable.from_phase_functions(
+        [PhaseFunction.from_legendre(np.zeros(1))], key=[0.0],
+        description=GAS_COMPONENT_NAME)
+    profile = np.asarray(profile, dtype=np.float64)
+    return domain.add_component(GAS_COMPONENT_NAME, profile,
+                                np.zeros_like(profile),
+                                np.zeros(profile.shape, np.int32), gas_table)
+
+
+@dataclass(frozen=True)
+class BandResult:
+    """One band's accumulated (weighted) mean results and k-point details."""
+
+    mean: object          # weighted pytree of Results over k points
+    per_k: list           # list of BatchStats per k point
+    wavelength_limits: tuple
+    spectral_fraction: float
+
+
+def run_band(integrator: Integrator, base_domain: Domain, kdist: KDistribution,
+             source, n_photons_per_batch, n_batches, seed=10, mesh=None,
+             derive=None):
+    """All k points of one band through the band integrator's executable."""
+    profiles = kdist.absorption_profiles_on(np.asarray(base_domain.z_edges))
+    per_k = []
+    mean_accum = None
+    for k in range(kdist.n_k):
+        dom_k = domain_with_gas_component(base_domain, profiles[:, k])
+        optics_k = device_optics_from_flat(flatten_optics(dom_k))
+        stats = run_batches(integrator, source, n_photons_per_batch, n_batches,
+                            seed=seed + 1000 * k, mesh=mesh, derive=derive,
+                            optics_override=optics_k)
+        per_k.append(stats)
+        w = float(kdist.weights[k])
+        tree = stats.mean
+        mean_accum = jax.tree.map(
+            lambda a, acc=None: a * w, tree) if mean_accum is None else \
+            jax.tree.map(lambda acc, a: acc + a * w, mean_accum, tree)
+    return BandResult(mean=mean_accum, per_k=per_k,
+                      wavelength_limits=kdist.wavelength_limits,
+                      spectral_fraction=kdist.spectral_fraction)
+
+
+def run_broadband(base_domain: Domain, k_distributions, source,
+                  n_photons_per_batch: int, n_batches: int, seed: int = 10,
+                  mesh=None, config=None, surface_albedo: float = 0.0,
+                  surface=None, intensity_mus=None, intensity_phis=None,
+                  band_domains=None, derive=None):
+    """The broadband driver: spectral loop over bands and k points.
+
+    ``band_domains`` optionally supplies a per-band Domain (per-band cloud
+    optics, e.g. Mie tables at each band's wavelength); otherwise the same
+    base_domain is reused.  Returns (broadband_mean_tree, [BandResult...]):
+    the broadband tree is the spectral-fraction-weighted sum over bands.
+    """
+    mesh = mesh or default_mesh()
+    bands = list(k_distributions)
+    results = []
+    broadband = None
+    for b, kdist in enumerate(bands):
+        dom_b = band_domains[b] if band_domains is not None else base_domain
+        # One compile per band: the integrator is built WITH a gas component
+        # (k point 0) so shapes match every subsequent override.
+        dom_gas = domain_with_gas_component(
+            dom_b, kdist.absorption_profiles_on(np.asarray(dom_b.z_edges))[:, 0])
+        integ = Integrator.create(dom_gas, config=config,
+                                  surface_albedo=surface_albedo, surface=surface,
+                                  intensity_mus=intensity_mus,
+                                  intensity_phis=intensity_phis)
+        band = run_band(integ, dom_b, kdist, source, n_photons_per_batch,
+                        n_batches, seed=seed + 100000 * b, mesh=mesh, derive=derive)
+        results.append(band)
+        contrib = jax.tree.map(lambda a: a * band.spectral_fraction, band.mean)
+        broadband = contrib if broadband is None else jax.tree.map(
+            lambda acc, a: acc + a, broadband, contrib)
+    return broadband, results

@@ -66,7 +66,8 @@ PI = np.pi
 
 @dataclass(frozen=True)
 class DeviceOptics:
-    """Flattened optics on device.
+    """Flattened optics on device — a pytree, so the spectral (k-distribution)
+    loop can swap per-band/per-k optics through the SAME compiled kernel.
 
     ``cell_matrix`` packs every per-cell quantity as float32 columns:
       [ total_ext | cum_1..cum_n | ssa_1..ssa_n | pfidx_1..pfidx_n ]
@@ -79,8 +80,8 @@ class DeviceOptics:
     cumulative_ext: jax.Array  # (n_cells*ncomp,)
     ssa: jax.Array             # (n_cells*ncomp,)
     phase_index: jax.Array     # (n_cells*ncomp,) int32
+    max_extinction: jax.Array  # scalar float32 (traced: varies per k-point)
     n_components: int
-    max_extinction: float
 
     @property
     def n_cells(self) -> int:
@@ -89,6 +90,13 @@ class DeviceOptics:
     @property
     def use_onehot(self) -> bool:
         return self.n_cells <= ONEHOT_MAX_ROWS
+
+
+jax.tree_util.register_dataclass(
+    DeviceOptics,
+    data_fields=["cell_matrix", "total_ext", "cumulative_ext", "ssa",
+                 "phase_index", "max_extinction"],
+    meta_fields=["n_components"])
 
 
 @dataclass(frozen=True)
@@ -216,7 +224,6 @@ def make_batch_tracer(geom: GridGeometry, optics: DeviceOptics, tables: DeviceTa
     max_crossings = config.max_crossings or max(1024, 8 * (n_x + n_y + n_z))
     max_int_crossings = config.max_intensity_crossings or max(1024, 8 * (n_x + n_y + n_z))
     use_rt = config.use_ray_tracing
-    inv_max_ext = 1.0 / max(optics.max_extinction, 1e-30)
     comp_offsets = jnp.arange(n_comp, dtype=jnp.int32)
     L = int(n_lanes or min(n_photons, 1 << 20))
     n_cells = optics.n_cells
@@ -224,15 +231,15 @@ def make_batch_tracer(geom: GridGeometry, optics: DeviceOptics, tables: DeviceTa
     # (n_photons / L) * mean_orders + tail iterations.
     max_iters = config.max_events * (n_photons // L + 2)
 
-    def read_cell_data(flat_cell):
+    def read_cell_data(opt, flat_cell):
         """One fused read of every per-cell quantity: (L, 1 + 3*ncomp)."""
         if optics.use_onehot:
-            return read_rows(optics.cell_matrix, flat_cell)
+            return read_rows(opt.cell_matrix, flat_cell)
         base = flat_cell * n_comp
-        cols = [optics.total_ext[flat_cell]]
-        cum = optics.cumulative_ext[base[:, None] + comp_offsets[None, :]]
-        ssa = optics.ssa[base[:, None] + comp_offsets[None, :]]
-        pfi = optics.phase_index[base[:, None] + comp_offsets[None, :]]
+        cols = [opt.total_ext[flat_cell]]
+        cum = opt.cumulative_ext[base[:, None] + comp_offsets[None, :]]
+        ssa = opt.ssa[base[:, None] + comp_offsets[None, :]]
+        pfi = opt.phase_index[base[:, None] + comp_offsets[None, :]]
         return jnp.concatenate([cols[0][:, None], cum, ssa,
                                 pfi.astype(jnp.float32)], axis=1)
 
@@ -262,7 +269,7 @@ def make_batch_tracer(geom: GridGeometry, optics: DeviceOptics, tables: DeviceTa
         params = surface.params[ixs * surface.n_ys + iys]
         return surface.brdf_fn(params, mu_in, mu_out, phi_in, phi_out)
 
-    def intensity_contribution(key, mask, is_surface, x, y, z, ix, iy, iz,
+    def intensity_contribution(opt, key, mask, is_surface, x, y, z, ix, iy, iz,
                                ux, uy, uz, weight, comp, pf_idx, order, tallies):
         """Local estimation toward each detector direction.
 
@@ -315,12 +322,12 @@ def make_batch_tracer(geom: GridGeometry, optics: DeviceOptics, tables: DeviceTa
             target = jnp.full((L * D,), 3.0e38, dtype=jnp.float32)
 
         (fx, fy, fz, fix, fiy, fiz, tau, status) = trace_extinction(
-            geom, optics.total_ext,
+            geom, opt.total_ext,
             tile_l(x), tile_l(y), tile_l(z),
             tile_l(ix), tile_l(iy), tile_l(iz),
             tile_d(dirs[0]), tile_d(dirs[1]), tile_d(dirs[2]),
             target, mask_ld, max_int_crossings,
-            cell_matrix=optics.cell_matrix if optics.use_onehot else None)
+            cell_matrix=opt.cell_matrix if optics.use_onehot else None)
         del fx, fy, fz, fiz
         escaped = (status == tile_d(intensity.exit_status)).reshape(L, D)
         tau = tau.reshape(L, D)
@@ -361,7 +368,7 @@ def make_batch_tracer(geom: GridGeometry, optics: DeviceOptics, tables: DeviceTa
             tallies["intensity_by_component"], byc_idx, contrib.reshape(L * D))
         return tallies
 
-    def event_step(key, source, k, state):
+    def event_step(opt, key, source, k, state):
         (alive, launched, x, y, z, ux, uy, uz, w,
          ix, iy, iz, order, tallies) = state
         ek = jax.random.fold_in(key, k)
@@ -393,13 +400,14 @@ def make_batch_tracer(geom: GridGeometry, optics: DeviceOptics, tables: DeviceTa
             alive = alive | refill
 
         tau = exponential_deviate(u_tau)
+        inv_max_ext = 1.0 / jnp.maximum(opt.max_extinction, 1e-30)
 
         if use_rt:
             # Ray tracing: travel until tau extinction accumulates (:481-487).
             (rx, ry, rz, rix, riy, riz, _tau_acc, status) = trace_extinction(
-                geom, optics.total_ext, x, y, z, ix, iy, iz, ux, uy, uz,
+                geom, opt.total_ext, x, y, z, ix, iy, iz, ux, uy, uz,
                 tau, alive, max_crossings,
-                cell_matrix=optics.cell_matrix if optics.use_onehot else None)
+                cell_matrix=opt.cell_matrix if optics.use_onehot else None)
             exit_top = alive & (status == EXIT_TOP)
             exit_bot = alive & (status == EXIT_BOT)
             collide = alive & (status == SCATTER)
@@ -430,7 +438,7 @@ def make_batch_tracer(geom: GridGeometry, optics: DeviceOptics, tables: DeviceTa
         flat_cell = (rix * n_y + riy) * n_z + riz
 
         # --- one fused read of all per-cell optics --------------------------
-        cell = read_cell_data(flat_cell)           # (L, 1 + 3*ncomp)
+        cell = read_cell_data(opt, flat_cell)      # (L, 1 + 3*ncomp)
         cell_ext = cell[:, 0]
         cum = cell[:, 1:1 + n_comp]
         ssa_cols = cell[:, 1 + n_comp:1 + 2 * n_comp]
@@ -489,7 +497,7 @@ def make_batch_tracer(geom: GridGeometry, optics: DeviceOptics, tables: DeviceTa
             any_event = physical | surf_alive
             w_event = jnp.where(exit_bot, w_srf, w_sc)
             tallies = intensity_contribution(
-                k_int, any_event, exit_bot, rx, ry, rz, rix, riy, riz,
+                opt, k_int, any_event, exit_bot, rx, ry, rz, rix, riy, riz,
                 ux, uy, uz, w_event, comp, pf_idx, order_next, tallies)
 
         # --- Russian roulette (:673-679) --------------------------------------
@@ -526,7 +534,9 @@ def make_batch_tracer(geom: GridGeometry, optics: DeviceOptics, tables: DeviceTa
         tallies["n_bad"] = tallies["n_bad"] + jnp.sum(bad).astype(jnp.int32)
         return (alive, launched, x, y, z, ux, uy, uz, w, ix, iy, iz, order, tallies)
 
-    def trace(key, batch, source=None):
+    def trace(key, batch, source=None, optics_override=None):
+        opt = optics if optics_override is None else optics_override
+        assert opt.n_components == n_comp, "optics override must keep shape"
         # Scale normalized entry positions to the domain (:464-466).
         x = geom.x0 + batch.x * (geom.x_max - geom.x0)
         y = geom.y0 + batch.y * (geom.y_max - geom.y0)
@@ -566,7 +576,7 @@ def make_batch_tracer(geom: GridGeometry, optics: DeviceOptics, tables: DeviceTa
 
         def body(carry):
             k, state = carry
-            return k + 1, event_step(key, source, k, state)
+            return k + 1, event_step(opt, key, source, k, state)
 
         state = (alive, launched, x, y, z, ux, uy, uz, w, ix, iy, iz, order, tallies)
         _, state = jax.lax.while_loop(cond, body, (jnp.int32(0), state))

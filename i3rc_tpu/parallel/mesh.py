@@ -60,7 +60,7 @@ class BatchStats:
 
 def run_batches(integrator, source, n_photons_per_batch: int, n_batches: int,
                 seed: int = 10, mesh: Mesh | None = None, derive=None,
-                n_lanes: int | None = None) -> BatchStats:
+                n_lanes: int | None = None, optics_override=None) -> BatchStats:
     """Run independent photon batches across the mesh and reduce moments.
 
     Results are independent of the device count: batch b always uses the
@@ -78,7 +78,12 @@ def run_batches(integrator, source, n_photons_per_batch: int, n_batches: int,
     per_dev = -(-n_batches // n_dev)      # round up to divide evenly (:268-271)
     n_batches = per_dev * n_dev
 
-    raw_fn = integrator.batch_fn(source, n_photons_per_batch, n_lanes=n_lanes)
+    compiled = integrator.batch_fn(source, n_photons_per_batch, n_lanes=n_lanes)
+
+    def raw_fn(k):
+        # optics_override rides through the same executable (spectral loop).
+        return compiled(k) if optics_override is None else compiled(k, optics_override)
+
     if derive is None:
         batch_fn = raw_fn
     else:

@@ -1,0 +1,87 @@
+"""Broadband k-distribution spectral loop tests (beyond-reference capability).
+
+Oracle: with a transparent cloud field and pure gaseous absorption, each k
+point is exact Beer-Lambert, so the broadband transmission is the weighted
+sum  T = sum_b f_b sum_k w_bk exp(-tau_bk / mu0)  in closed form.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from i3rc_tpu import Domain, IntegratorConfig, PhotonSource
+from i3rc_tpu.core.k_distribution import (
+    KDistribution,
+    read_k_distribution,
+    write_k_distribution,
+)
+from i3rc_tpu.core.phase_functions import (
+    PhaseFunction,
+    PhaseFunctionTable,
+    henyey_greenstein_coefficients,
+)
+from i3rc_tpu.integrators.spectral import run_broadband
+
+
+def transparent_domain(n_layers=4, thickness=1.0):
+    table = PhaseFunctionTable.from_phase_functions(
+        [PhaseFunction.from_legendre(henyey_greenstein_coefficients(0.85, 16))],
+        key=[1.0])
+    dom = Domain.create([0, 1.0], [0, 1.0], np.linspace(0, thickness, n_layers + 1))
+    ext = np.full((1, 1, n_layers), 1e-9)
+    return dom.add_component("cloud", ext, np.ones_like(ext),
+                             np.zeros(ext.shape, np.int32), table)
+
+
+def test_k_distribution_object_and_io(tmp_path):
+    z = np.linspace(0.0, 1.0, 5)
+    profiles = np.array([[0.1, 1.0], [0.2, 2.0], [0.3, 3.0], [0.4, 4.0]])
+    kd = KDistribution.create(z, profiles, [0.7, 0.3],
+                              description="test band",
+                              wavelength_limits=(2.6, 2.8),
+                              spectral_fraction=0.4)
+    assert kd.n_k == 2 and kd.n_layers == 4
+    # regridding conserves column optical depth
+    coarse = np.array([0.0, 0.5, 1.0])
+    p = kd.absorption_profile(0, coarse)
+    assert np.sum(p * np.diff(coarse)) == pytest.approx(
+        np.sum(profiles[:, 0] * np.diff(z)))
+    path = str(tmp_path / "band.kd")
+    write_k_distribution(kd, path)
+    back = read_k_distribution(path)
+    np.testing.assert_allclose(back.absorption_profiles, profiles, rtol=1e-6)
+    np.testing.assert_allclose(back.weights, [0.7, 0.3], rtol=1e-6)
+    assert back.spectral_fraction == pytest.approx(0.4, rel=1e-6)
+    assert back.wavelength_limits[0] == pytest.approx(2.6, rel=1e-6)
+
+
+def test_broadband_beer_lambert():
+    mu0 = 0.5
+    dom = transparent_domain()
+    z = np.asarray(dom.z_edges)
+    # Two bands, two k points each; tau = profile * thickness(=1)
+    taus = {0: np.array([0.2, 2.0]), 1: np.array([0.05, 0.8])}
+    weights = {0: np.array([0.6, 0.4]), 1: np.array([0.5, 0.5])}
+    fractions = {0: 0.7, 1: 0.3}
+    kds = [KDistribution.create(
+        z, np.broadcast_to(taus[b][None, :] / (z[-1] - z[0]), (4, 2)).copy(),
+        weights[b], spectral_fraction=fractions[b]) for b in (0, 1)]
+
+    broadband, bands = run_broadband(
+        dom, kds, PhotonSource.directional(mu0, 0.0),
+        n_photons_per_batch=20_000, n_batches=2, seed=4,
+        config=IntegratorConfig(use_ray_tracing=False))
+
+    expected = sum(fractions[b] * np.sum(weights[b] * np.exp(-taus[b] / mu0))
+                   for b in (0, 1))
+    got = float(np.asarray(broadband.flux_down).mean())
+    assert got == pytest.approx(expected, rel=5e-3)
+    # Per-band means also match their own closed forms
+    for b in (0, 1):
+        band_expected = np.sum(weights[b] * np.exp(-taus[b] / mu0))
+        band_got = float(np.asarray(bands[b].mean.flux_down).mean())
+        assert band_got == pytest.approx(band_expected, rel=5e-3)
+    # Absorbed + transmitted closes (reflection negligible)
+    total = float(np.asarray(broadband.flux_down).mean()
+                  + np.asarray(broadband.flux_absorbed).mean())
+    assert total == pytest.approx(1.0, rel=5e-3)
