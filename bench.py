@@ -25,24 +25,31 @@ def main():
     from i3rc_tpu.core.illumination import PhotonSource
     from i3rc_tpu.integrators.config import IntegratorConfig
 
-    n_photons = 1 << 20
+    n_photons = 1 << 22
+    # Measured optimum on v5e: 16-cell super-voxel majorants (Woodcock
+    # tracking), column-keyed tallies (flux benchmark; no volume absorption
+    # requested), 2^17 lanes with persistent-photon refill.
     integ = _step_cloud_integrator(
-        config=IntegratorConfig(use_ray_tracing=False, max_events=500))
+        config=IntegratorConfig(use_ray_tracing=False, max_events=500,
+                                compute_volume_absorption=False,
+                                majorant_block_size=16))
     source = PhotonSource.directional(0.5, 0.0)
-    # 2^17 lanes + persistent-photon refill: measured optimum on v5e
     fn = integ.batch_fn(source, n_photons, n_lanes=1 << 17)
 
     key = jax.random.PRNGKey(0)
-    # Warmup / compile
-    res = fn(key)
-    jax.block_until_ready(res.flux_up)
-    # Timed runs
-    n_runs = 5
-    t0 = time.perf_counter()
-    for i in range(n_runs):
+    # Warmup: compile + first-dispatch settling on the remote device
+    for i in range(2):
+        res = fn(jax.random.fold_in(key, 100 + i))
+        jax.block_until_ready(res.flux_up)
+    # Timed runs: block each run; report the median (relay timing is noisy)
+    times = []
+    for i in range(7):
+        t0 = time.perf_counter()
         res = fn(jax.random.fold_in(key, i))
-    jax.block_until_ready(res.flux_up)
-    dt = (time.perf_counter() - t0) / n_runs
+        jax.block_until_ready(res.flux_up)
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    dt = times[len(times) // 2]
 
     photons_per_sec = n_photons / dt
     out = {

@@ -49,6 +49,18 @@ class IntegratorConfig:
     # Tabulation resolutions (:36-37).
     min_forward_table_size: int = DEFAULT_MIN_FORWARD_TABLE_SIZE
     min_inverse_table_size: int = DEFAULT_MIN_INVERSE_TABLE_SIZE
+    # Tally 3D volume absorption?  The reference always accumulates it; when
+    # the outputs aren't requested (reportVolumeAbsorption/-Profile both
+    # false) skipping it keys the tallies on columns instead of cells — a
+    # large saving for the one-hot tally matmul on TPU.
+    compute_volume_absorption: bool = True
+    # Super-voxel majorant transport (Woodcock tracking): free paths are
+    # sampled against per-block maxima instead of the reference's single
+    # global maximum cross-section (:439), removing null collisions in
+    # optically thin regions.  Value = block edge length in cells (must
+    # divide each grid dimension, clamped per-axis); 0 = reference behavior.
+    # Unbiased: identical expectation, different (better) event count.
+    majorant_block_size: int = 0
     # --- TPU kernel budgets (no reference analog; see module docstring) ----
     max_events: int = 1000          # scattering orders per photon
     max_crossings: int = 0          # 0 -> auto: 8 * (nx + ny + nz)

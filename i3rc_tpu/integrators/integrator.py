@@ -44,7 +44,27 @@ from i3rc_tpu.ops.dda import EXIT_BOT, EXIT_TOP, GridGeometry
 from i3rc_tpu.utils.errors import Status
 
 
-def device_optics_from_flat(flat: FlatOptics) -> DeviceOptics:
+def majorant_block_shape(grid_shape, block_size: int):
+    """Per-axis block edges (clamped to the axis, must divide it) or None."""
+    if block_size <= 0:
+        return None
+    bx = min(block_size, grid_shape[0])
+    by = min(block_size, grid_shape[1])
+    bz = min(block_size, grid_shape[2])
+    if grid_shape[0] % bx or grid_shape[1] % by or grid_shape[2] % bz:
+        return None  # fall back to the global majorant
+    return bx, by, bz
+
+
+def block_majorants(total_ext: np.ndarray, blocks) -> np.ndarray:
+    """Per-super-voxel maximum extinction, flattened C-order."""
+    nx, ny, nz = total_ext.shape
+    bx, by, bz = blocks
+    r = total_ext.reshape(nx // bx, bx, ny // by, by, nz // bz, bz)
+    return r.max(axis=(1, 3, 5)).ravel()
+
+
+def device_optics_from_flat(flat: FlatOptics, majorant_block_size: int = 0) -> DeviceOptics:
     """Pack FlatOptics into the kernel's device pytree (see DeviceOptics)."""
     n_cells = flat.total_ext.size
     n_comp = flat.n_components
@@ -54,6 +74,9 @@ def device_optics_from_flat(flat: FlatOptics) -> DeviceOptics:
         flat.ssa.reshape(n_cells, n_comp),
         flat.phase_index.reshape(n_cells, n_comp).astype(np.float32),
     ], axis=1)
+    blocks = majorant_block_shape(flat.total_ext.shape, majorant_block_size)
+    majorant = (block_majorants(flat.total_ext, blocks) if blocks
+                else np.zeros(0, np.float32))
     return DeviceOptics(
         cell_matrix=jnp.asarray(cell_matrix),
         total_ext=jnp.asarray(flat.total_ext.ravel()),
@@ -61,8 +84,17 @@ def device_optics_from_flat(flat: FlatOptics) -> DeviceOptics:
         ssa=jnp.asarray(flat.ssa.ravel()),
         phase_index=jnp.asarray(flat.phase_index.ravel(), dtype=jnp.int32),
         max_extinction=jnp.float32(flat.max_extinction),
+        block_majorant=jnp.asarray(majorant, dtype=jnp.float32),
         n_components=n_comp,
     )
+
+
+def coarse_geometry(domain: Domain, blocks) -> GridGeometry:
+    """Super-voxel grid geometry: every (bx, by, bz)-th fine edge."""
+    bx, by, bz = blocks
+    return GridGeometry.from_edges(
+        domain.x_edges[::bx], domain.y_edges[::by], domain.z_edges[::bz],
+        domain.xy_regularly_spaced, domain.z_regularly_spaced)
 
 
 @dataclass(frozen=True)
@@ -75,6 +107,7 @@ class Integrator:
     surface: SurfaceSpec
     intensity: IntensitySpec | None
     config: IntegratorConfig
+    coarse_geometry: object
     _flat: FlatOptics
     _col_weights: np.ndarray
     _dz: np.ndarray
@@ -117,7 +150,9 @@ class Integrator:
         # Device optics: per-cell quantities packed as columns of one matrix
         # so the kernel fetches everything with a single fused one-hot matmul
         # (see wavefront.py docstring); flat copies back the serial fallback.
-        optics = device_optics_from_flat(flat)
+        optics = device_optics_from_flat(flat, config.majorant_block_size)
+        blocks = majorant_block_shape(flat.total_ext.shape, config.majorant_block_size)
+        coarse_geom = coarse_geometry(domain, blocks) if blocks else None
 
         # Tables: inverse CDF always; forward only when intensity is requested.
         compute_intensity = intensity_mus is not None
@@ -162,7 +197,7 @@ class Integrator:
 
         return Integrator(
             geometry=geom, optics=optics, tables=tables, surface=sspec,
-            intensity=ispec, config=config, _flat=flat,
+            intensity=ispec, config=config, coarse_geometry=coarse_geom, _flat=flat,
             _col_weights=column_weights(domain.x_edges, domain.y_edges),
             _dz=np.diff(np.asarray(domain.z_edges, dtype=np.float64)).astype(np.float32),
             _domain=domain, _surface_arg=surface, _surface_albedo=float(surface_albedo),
@@ -207,7 +242,8 @@ class Integrator:
         """The raw jittable (key, PhotonBatch, source) -> RawTallies function."""
         return make_batch_tracer(self.geometry, self.optics, self.tables,
                                  self.surface, self.intensity, self.config,
-                                 n_photons, n_lanes)
+                                 n_photons, n_lanes,
+                                 coarse_geom=self.coarse_geometry)
 
     def batch_fn(self, source: PhotonSource, n_photons: int,
                  n_lanes: int | None = None):

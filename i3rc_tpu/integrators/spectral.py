@@ -64,7 +64,8 @@ def run_band(integrator: Integrator, base_domain: Domain, kdist: KDistribution,
     mean_accum = None
     for k in range(kdist.n_k):
         dom_k = domain_with_gas_component(base_domain, profiles[:, k])
-        optics_k = device_optics_from_flat(flatten_optics(dom_k))
+        optics_k = device_optics_from_flat(flatten_optics(dom_k),
+                                           integrator.config.majorant_block_size)
         stats = run_batches(integrator, source, n_photons_per_batch, n_batches,
                             seed=seed + 1000 * k, mesh=mesh, derive=derive,
                             optics_override=optics_k)

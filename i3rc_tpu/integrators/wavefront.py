@@ -81,6 +81,7 @@ class DeviceOptics:
     ssa: jax.Array             # (n_cells*ncomp,)
     phase_index: jax.Array     # (n_cells*ncomp,) int32
     max_extinction: jax.Array  # scalar float32 (traced: varies per k-point)
+    block_majorant: jax.Array  # (n_blocks,) super-voxel majorants; (0,) if off
     n_components: int
 
     @property
@@ -95,7 +96,7 @@ class DeviceOptics:
 jax.tree_util.register_dataclass(
     DeviceOptics,
     data_fields=["cell_matrix", "total_ext", "cumulative_ext", "ssa",
-                 "phase_index", "max_extinction"],
+                 "phase_index", "max_extinction", "block_majorant"],
     meta_fields=["n_components"])
 
 
@@ -147,13 +148,15 @@ class RawTallies:
     intensity_excess: jax.Array        # (D*(ncomp+1),) or (0,)
     n_photons: jax.Array          # scalar i32
     n_bad: jax.Array              # scalar i32
+    n_iterations: jax.Array       # scalar i32: event-loop trips (diagnostic)
+    n_lane_events: jax.Array      # scalar f32: total live lane-events (diagnostic)
 
 
 jax.tree_util.register_dataclass(
     RawTallies,
     data_fields=["flux_up", "flux_down", "flux_absorbed", "volume_absorption",
                  "intensity", "intensity_by_component", "intensity_excess",
-                 "n_photons", "n_bad"],
+                 "n_photons", "n_bad", "n_iterations", "n_lane_events"],
     meta_fields=[])
 
 
@@ -207,7 +210,8 @@ def _table_lookup(flat_table, row_base, position, n_steps):
 
 def make_batch_tracer(geom: GridGeometry, optics: DeviceOptics, tables: DeviceTables,
                       surface: SurfaceSpec, intensity: IntensitySpec | None,
-                      config, n_photons: int, n_lanes: int | None = None):
+                      config, n_photons: int, n_lanes: int | None = None,
+                      coarse_geom: GridGeometry | None = None):
     """Build the jittable single-batch transport function.
 
     Returns trace(key, batch: PhotonBatch) -> RawTallies.  ``n_lanes`` is the
@@ -224,6 +228,14 @@ def make_batch_tracer(geom: GridGeometry, optics: DeviceOptics, tables: DeviceTa
     max_crossings = config.max_crossings or max(1024, 8 * (n_x + n_y + n_z))
     max_int_crossings = config.max_intensity_crossings or max(1024, 8 * (n_x + n_y + n_z))
     use_rt = config.use_ray_tracing
+    # Super-voxel Woodcock transport: free paths sampled against a coarse
+    # majorant grid via the same DDA (inhomogeneous exponential sampling),
+    # then collisions resolved physical/null against the fine cell. Removes
+    # the global-majorant null-collision tax in optically thin regions.
+    use_woodcock = (not use_rt) and coarse_geom is not None
+    if use_woodcock:
+        max_block_crossings = max(64, 4 * (coarse_geom.n_x + coarse_geom.n_y
+                                           + coarse_geom.n_z))
     comp_offsets = jnp.arange(n_comp, dtype=jnp.int32)
     L = int(n_lanes or min(n_photons, 1 << 20))
     n_cells = optics.n_cells
@@ -372,10 +384,11 @@ def make_batch_tracer(geom: GridGeometry, optics: DeviceOptics, tables: DeviceTa
         (alive, launched, x, y, z, ux, uy, uz, w,
          ix, iy, iz, order, tallies) = state
         ek = jax.random.fold_in(key, k)
-        ks = jax.random.split(ek, 10)
-        u = [jax.random.uniform(kk, (L,), dtype=jnp.float32) for kk in ks[:8]]
+        ks = jax.random.split(ek, 3)
+        # One threefry pass supplies all eight per-lane deviates for the event.
+        u = jax.random.uniform(ks[0], (8, L), dtype=jnp.float32)
         (u_tau, u_srf_mu, u_srf_phi, u_comp, u_rr, u_scat, u_chi, u_accept) = u
-        k_int, k_refill = ks[8], ks[9]
+        k_int, k_refill = ks[1], ks[2]
 
         # --- persistent-photon refill of dead lanes -------------------------
         if n_photons > L:
@@ -412,6 +425,27 @@ def make_batch_tracer(geom: GridGeometry, optics: DeviceOptics, tables: DeviceTa
             exit_bot = alive & (status == EXIT_BOT)
             collide = alive & (status == SCATTER)
             bad = alive & (status == BAD)
+        elif use_woodcock:
+            # Tentative collision by DDA over the block-majorant grid.
+            cbx = coarse_geom.locate_x(x)
+            cby = coarse_geom.locate_y(y)
+            cbz = coarse_geom.locate_z(z)
+            (rx, ry, rz, fbx, fby, fbz, _tau_acc, status) = trace_extinction(
+                coarse_geom, opt.block_majorant, x, y, z, cbx, cby, cbz,
+                ux, uy, uz, tau, alive, max_block_crossings,
+                cell_matrix=opt.block_majorant[:, None])
+            exit_top = alive & (status == EXIT_TOP)
+            exit_bot = alive & (status == EXIT_BOT)
+            collide = alive & (status == SCATTER)
+            bad = alive & (status == BAD)
+            rix = geom.locate_x(rx)
+            riy = geom.locate_y(ry)
+            riz = geom.locate_z(rz)
+            block_flat = (fbx * coarse_geom.n_y + fby) * coarse_geom.n_z + fbz
+            from i3rc_tpu.ops.gather import read_rows as _rr
+
+            maj_here = _rr(opt.block_majorant[:, None], block_flat)[:, 0]
+            inv_maj = 1.0 / jnp.maximum(maj_here, 1e-30)
         else:
             # Maximum cross-section jump (:492-497).
             s = tau * inv_max_ext
@@ -446,6 +480,8 @@ def make_batch_tracer(geom: GridGeometry, optics: DeviceOptics, tables: DeviceTa
 
         if use_rt:
             physical = collide  # every ray-traced collision is physical
+        elif use_woodcock:
+            physical = collide & (u_accept < cell_ext * inv_maj)
         else:
             # Physical vs mathematical collision (:586-588) — cell re-located
             # at the new position (the reference reuses stale indices here).
@@ -474,23 +510,34 @@ def make_batch_tracer(geom: GridGeometry, optics: DeviceOptics, tables: DeviceTa
         w_sc = w * ssa_v
         order_next = order + (physical | exit_bot).astype(jnp.int32)
 
-        # --- all four tallies in one fused transpose-matmul ------------------
-        tally_vals = jnp.stack([
-            jnp.where(exit_top, w, 0.0),
-            jnp.where(exit_bot, w, 0.0),
-            jnp.where(physical, absorbed, 0.0),
-            jnp.where(physical, absorbed, 0.0),
-        ], axis=1)
-        if optics.use_onehot:
+        # --- all tallies in one fused transpose-matmul ------------------------
+        # Keyed on cells when volume absorption is tallied, else on columns
+        # (much narrower one-hot; flux fields only need the column).
+        if optics.use_onehot and config.compute_volume_absorption:
+            tally_vals = jnp.stack([
+                jnp.where(exit_top, w, 0.0),
+                jnp.where(exit_bot, w, 0.0),
+                jnp.where(physical, absorbed, 0.0),
+                jnp.where(physical, absorbed, 0.0),
+            ], axis=1)
             tallies["cells"] = tally_multi(tallies["cells"], flat_cell, tally_vals)
+        elif optics.use_onehot:
+            tally_vals = jnp.stack([
+                jnp.where(exit_top, w, 0.0),
+                jnp.where(exit_bot, w, 0.0),
+                jnp.where(physical, absorbed, 0.0),
+            ], axis=1)
+            col = rix * n_y + riy
+            tallies["columns"] = tally_multi(tallies["columns"], col, tally_vals)
         else:
             col = rix * n_y + riy
             tallies["flux_up"] = tally_add(tallies["flux_up"], col, w, exit_top)
             tallies["flux_down"] = tally_add(tallies["flux_down"], col, w, exit_bot)
             tallies["flux_absorbed"] = tally_add(tallies["flux_absorbed"], col,
                                                  absorbed, physical)
-            tallies["volume_absorption"] = tally_add(tallies["volume_absorption"],
-                                                     flat_cell, absorbed, physical)
+            if config.compute_volume_absorption:
+                tallies["volume_absorption"] = tally_add(
+                    tallies["volume_absorption"], flat_cell, absorbed, physical)
 
         # --- local-estimate radiance (:565-580 surface, :652-668 collision) --
         if compute_intensity:
@@ -532,6 +579,8 @@ def make_batch_tracer(geom: GridGeometry, optics: DeviceOptics, tables: DeviceTa
         order = order_next
         alive = (scat_alive | surf_alive | math_move) & ~over_budget
         tallies["n_bad"] = tallies["n_bad"] + jnp.sum(bad).astype(jnp.int32)
+        tallies["n_lane_events"] = tallies["n_lane_events"] + jnp.sum(
+            (exit_top | exit_bot | collide).astype(jnp.float32))
         return (alive, launched, x, y, z, ux, uy, uz, w, ix, iy, iz, order, tallies)
 
     def trace(key, batch, source=None, optics_override=None):
@@ -552,6 +601,7 @@ def make_batch_tracer(geom: GridGeometry, optics: DeviceOptics, tables: DeviceTa
         launched = jnp.int32(min(L, n_photons))
         tallies = {
             "n_bad": jnp.zeros((), jnp.int32),
+            "n_lane_events": jnp.zeros((), jnp.float32),
             "intensity": jnp.zeros(n_x * n_y * n_dirs if compute_intensity else 0,
                                    jnp.float32),
             "intensity_by_component": jnp.zeros(
@@ -560,13 +610,16 @@ def make_batch_tracer(geom: GridGeometry, optics: DeviceOptics, tables: DeviceTa
             "intensity_excess": jnp.zeros(
                 n_dirs * (n_comp + 1) if compute_intensity else 0, jnp.float32),
         }
-        if optics.use_onehot:
+        if optics.use_onehot and config.compute_volume_absorption:
             tallies["cells"] = jnp.zeros((n_cells, 4), jnp.float32)
+        elif optics.use_onehot:
+            tallies["columns"] = jnp.zeros((n_x * n_y, 3), jnp.float32)
         else:
             tallies["flux_up"] = jnp.zeros(n_x * n_y, jnp.float32)
             tallies["flux_down"] = jnp.zeros(n_x * n_y, jnp.float32)
             tallies["flux_absorbed"] = jnp.zeros(n_x * n_y, jnp.float32)
-            tallies["volume_absorption"] = jnp.zeros(n_x * n_y * n_z, jnp.float32)
+            if config.compute_volume_absorption:
+                tallies["volume_absorption"] = jnp.zeros(n_x * n_y * n_z, jnp.float32)
 
         def cond(carry):
             k, state = carry
@@ -579,23 +632,29 @@ def make_batch_tracer(geom: GridGeometry, optics: DeviceOptics, tables: DeviceTa
             return k + 1, event_step(opt, key, source, k, state)
 
         state = (alive, launched, x, y, z, ux, uy, uz, w, ix, iy, iz, order, tallies)
-        _, state = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
+        k_final, state = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
         alive = state[0]
         tallies = state[13]
         # Lanes alive at the iteration cap vanish with their weight: count bad.
         n_bad = tallies["n_bad"] + jnp.sum(alive).astype(jnp.int32)
 
-        if optics.use_onehot:
+        if optics.use_onehot and config.compute_volume_absorption:
             cells = tallies["cells"].reshape(n_x * n_y, n_z, 4)
             flux_up = jnp.sum(cells[:, :, 0], axis=1)
             flux_down = jnp.sum(cells[:, :, 1], axis=1)
             flux_absorbed = jnp.sum(cells[:, :, 2], axis=1)
             volume_absorption = cells[:, :, 3].reshape(n_x * n_y * n_z)
+        elif optics.use_onehot:
+            flux_up = tallies["columns"][:, 0]
+            flux_down = tallies["columns"][:, 1]
+            flux_absorbed = tallies["columns"][:, 2]
+            volume_absorption = jnp.zeros(n_x * n_y * n_z, jnp.float32)
         else:
             flux_up = tallies["flux_up"]
             flux_down = tallies["flux_down"]
             flux_absorbed = tallies["flux_absorbed"]
-            volume_absorption = tallies["volume_absorption"]
+            volume_absorption = tallies.get(
+                "volume_absorption", jnp.zeros(n_x * n_y * n_z, jnp.float32))
 
         return RawTallies(
             flux_up=flux_up, flux_down=flux_down, flux_absorbed=flux_absorbed,
@@ -603,6 +662,7 @@ def make_batch_tracer(geom: GridGeometry, optics: DeviceOptics, tables: DeviceTa
             intensity=tallies["intensity"],
             intensity_by_component=tallies["intensity_by_component"],
             intensity_excess=tallies["intensity_excess"],
-            n_photons=jnp.int32(n_photons), n_bad=n_bad)
+            n_photons=jnp.int32(n_photons), n_bad=n_bad,
+            n_iterations=k_final, n_lane_events=tallies["n_lane_events"])
 
     return trace

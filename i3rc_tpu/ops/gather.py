@@ -33,6 +33,36 @@ def onehot_read(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return jnp.matmul(onehot, table, preferred_element_type=jnp.float32)
 
 
+# Row split for the factorized read/tally; rows padded to a multiple of this.
+FACTOR_K = 32
+# Below this many rows a single one-hot is cheaper than two narrow ones.
+FACTOR_MIN_ROWS = 128
+
+
+def factored_read(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Gather rows via idx = hi*K + lo factorization: two narrow one-hots.
+
+    VPU cost drops from L*R compares to ~L*(K + (R/K)*(m+1)): the wide
+    one-hot generation — the dominant per-event cost on TPU — is replaced by
+    an MXU matmul whose operand is a K-wide one-hot.  Exact like onehot_read:
+    every reduction has exactly one nonzero term.
+    """
+    r, m = table.shape
+    k = FACTOR_K
+    n_hi = -(-r // k)
+    if n_hi * k != r:
+        table = jnp.pad(table, ((0, n_hi * k - r), (0, 0)))
+    hi = idx // k
+    lo = idx - hi * k
+    oh_lo = (lo[:, None] == jnp.arange(k, dtype=idx.dtype)[None, :]).astype(table.dtype)
+    # M[l, hi, j] = sum_lo oh_lo[l, lo] * table[hi*K + lo, j]   (MXU)
+    t3 = table.reshape(n_hi, k, m)
+    mm = jnp.matmul(oh_lo, t3.transpose(1, 0, 2).reshape(k, n_hi * m),
+                    preferred_element_type=jnp.float32).reshape(-1, n_hi, m)
+    oh_hi = (hi[:, None] == jnp.arange(n_hi, dtype=idx.dtype)[None, :]).astype(table.dtype)
+    return jnp.sum(mm * oh_hi[:, :, None], axis=1)
+
+
 def serial_read(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """Plain XLA gather; preferable for very wide tables."""
     return table[idx]
@@ -40,6 +70,8 @@ def serial_read(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 
 def read_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """Strategy dispatch on the table height."""
-    if table.shape[0] <= ONEHOT_MAX_ROWS:
+    if table.shape[0] <= FACTOR_MIN_ROWS:
         return onehot_read(table, idx)
+    if table.shape[0] <= ONEHOT_MAX_ROWS:
+        return factored_read(table, idx)
     return serial_read(table, idx)

@@ -43,11 +43,28 @@ def tally_multi(acc: jnp.ndarray, flat_idx, values) -> jnp.ndarray:
 
     One fused one-hot transpose-matmul accumulates k different tallies keyed
     by the same per-lane cell index.  Masked lanes must carry zero values.
+    For wide accumulators the index is factorized (idx = hi*K + lo) so the
+    one-hot generation stays narrow (see ops/gather.factored_read); exact
+    because every output sums lanes whose contribution is value-or-zero.
     """
-    c = acc.shape[0]
-    onehot = (flat_idx[:, None] == jnp.arange(c, dtype=flat_idx.dtype)[None, :])
-    return acc + jnp.matmul(onehot.astype(values.dtype).T, values,
-                            preferred_element_type=jnp.float32)
+    from i3rc_tpu.ops.gather import FACTOR_K, FACTOR_MIN_ROWS
+
+    c, m = acc.shape
+    if c <= FACTOR_MIN_ROWS:
+        onehot = (flat_idx[:, None] == jnp.arange(c, dtype=flat_idx.dtype)[None, :])
+        return acc + jnp.matmul(onehot.astype(values.dtype).T, values,
+                                preferred_element_type=jnp.float32)
+    k = FACTOR_K
+    n_hi = -(-c // k)
+    hi = flat_idx // k
+    lo = flat_idx - hi * k
+    oh_lo = (lo[:, None] == jnp.arange(k, dtype=flat_idx.dtype)[None, :]).astype(values.dtype)
+    # W[l, lo, j] = oh_lo * value; tally[hi, lo, j] = oh_hi.T @ W  (MXU)
+    w = (oh_lo[:, :, None] * values[:, None, :]).reshape(values.shape[0], k * m)
+    oh_hi = (hi[:, None] == jnp.arange(n_hi, dtype=flat_idx.dtype)[None, :]).astype(values.dtype)
+    t = jnp.matmul(oh_hi.T, w, preferred_element_type=jnp.float32)
+    t = t.reshape(n_hi * k, m)[:c]
+    return acc + t
 
 
 def tally_add(acc: jnp.ndarray, flat_idx, values, mask=None) -> jnp.ndarray:
