@@ -61,6 +61,8 @@ def run_from_namelist(namelist_path: str, quiet: bool = False) -> dict:
     zeta_min = float(_get(g, "algorithms", "zetamin", 0.3))
     limit_intensity = bool(_get(g, "algorithms", "limitintensitycontributions", False))
     max_intensity = float(_get(g, "algorithms", "maxintensitycontribution", 77.0))
+    # TPU-native extension: super-voxel majorant size (0 = reference behavior)
+    majorant_block_size = int(_get(g, "algorithms", "majorantblocksize", 0))
 
     report_volume = bool(_get(g, "output", "reportvolumeabsorption", False))
     report_profile = bool(_get(g, "output", "reportabsorptionprofile", False))
@@ -92,6 +94,10 @@ def run_from_namelist(namelist_path: str, quiet: bool = False) -> dict:
         max_intensity_contribution=max_intensity,
         min_forward_table_size=n_phase_intervals,
         min_inverse_table_size=n_phase_intervals,
+        majorant_block_size=majorant_block_size,
+        # Skip the 3D tally when neither absorption output is requested.
+        compute_volume_absorption=(report_volume or report_profile
+                                   or bool(out_abs_prof) or bool(out_abs_vol)),
     )
     integ = Integrator.create(domain, config=config, surface_albedo=surface_albedo,
                               intensity_mus=mus, intensity_phis=phis)
