@@ -60,7 +60,8 @@ class BatchStats:
 
 def run_batches(integrator, source, n_photons_per_batch: int, n_batches: int,
                 seed: int = 10, mesh: Mesh | None = None, derive=None,
-                n_lanes: int | None = None, optics_override=None) -> BatchStats:
+                n_lanes: int | None = None, optics_override=None,
+                batch_offset: int = 0, _return_sums: bool = False) -> BatchStats:
     """Run independent photon batches across the mesh and reduce moments.
 
     Results are independent of the device count: batch b always uses the
@@ -108,7 +109,7 @@ def run_batches(integrator, source, n_photons_per_batch: int, n_batches: int,
         s2 = [jax.lax.psum(a, "batch") for a in s2]
         return s1, s2
 
-    ids = jnp.arange(n_batches, dtype=jnp.int32)
+    ids = batch_offset + jnp.arange(n_batches, dtype=jnp.int32)
     # check_vma=False: the kernel's while_loop carries mix batch-varying
     # photon state with replicated constants (initial z / status), which the
     # varying-manual-axes checker rejects even though the program is correct.
@@ -118,10 +119,18 @@ def run_batches(integrator, source, n_photons_per_batch: int, n_batches: int,
 
     template = jax.eval_shape(batch_fn, base_key)
     treedef = jax.tree.structure(template)
-    mean_leaves = [a / n_batches for a in s1]
-    std_leaves = [jnp.sqrt(jnp.maximum(b / n_batches - jnp.square(a / n_batches), 0.0)
-                           / (n_batches - 1))
-                  for a, b in zip(s1, s2)]
-    return BatchStats(mean=jax.tree.unflatten(treedef, mean_leaves),
-                      stderr=jax.tree.unflatten(treedef, std_leaves),
-                      n_batches=n_batches)
+    if _return_sums:
+        return (jax.tree.unflatten(treedef, s1), jax.tree.unflatten(treedef, s2),
+                n_batches)
+    return stats_from_sums(jax.tree.unflatten(treedef, s1),
+                           jax.tree.unflatten(treedef, s2), n_batches)
+
+
+def stats_from_sums(sum1, sum2, n_batches: int) -> BatchStats:
+    """Mean + stderr from accumulated first/second moments (:358-378)."""
+    mean = jax.tree.map(lambda a: a / n_batches, sum1)
+    stderr = jax.tree.map(
+        lambda a, b: jnp.sqrt(jnp.maximum(b / n_batches - jnp.square(a / n_batches),
+                                          0.0) / (n_batches - 1)),
+        sum1, sum2)
+    return BatchStats(mean=mean, stderr=stderr, n_batches=n_batches)
