@@ -34,12 +34,25 @@ SSAS = {"non_absorbing": 1.0, "absorbing": 0.99}
 
 
 def _read_fixed(path: str, width: int = 7) -> np.ndarray:
-    """Fixed-width Fortran 128f7.2 reader; rows are y, columns x."""
-    rows = []
+    """Fixed-width Fortran 128f7.2 reader; rows are y, columns x.
+
+    Bulk native token parse when fields are whitespace-separated (true for
+    the shipped data), fixed-width slicing otherwise.
+    """
+    from i3rc_tpu.native import parse_float_tokens
+
     with open(path) as f:
-        for line in f:
-            rows.append([float(line[i:i + width]) for i in range(0, width * N_X, width)])
-    arr = np.array(rows)
+        text = f.read()
+    try:
+        vals = parse_float_tokens(text)
+    except ValueError:
+        vals = np.zeros(0)
+    if vals.size == N_Y * N_X:
+        arr = vals.reshape(N_Y, N_X)
+    else:
+        rows = [[float(l[i:i + width]) for i in range(0, width * N_X, width)]
+                for l in text.splitlines() if l.strip()]
+        arr = np.array(rows)
     assert arr.shape == (N_Y, N_X), arr.shape
     return arr.T  # -> (x, y)
 

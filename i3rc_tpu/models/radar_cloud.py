@@ -60,12 +60,19 @@ def load_c1_legendre(data_dir: str = DATA_DIR) -> PhaseFunction:
 def load_extinction(data_dir: str = DATA_DIR) -> np.ndarray:
     """Per-cell optical depth -> extinction; file rows are layers, top first."""
     path = os.path.join(data_dir, "mmcr_tau_32km_020898")
-    rows = []
     with open(path) as f:
-        for line in f:
-            # Fixed-width Fortran format 640f8.3
-            rows.append([float(line[i:i + 8]) for i in range(0, 8 * N_COLUMNS, 8)])
-    tau = np.array(rows)             # (n_layers, n_columns), top layer first
+        text = f.read()
+    # Fixed-width Fortran 640f8.3, but every field is whitespace-separated in
+    # the shipped data -> bulk native parse, with a fixed-width fallback.
+    from i3rc_tpu.native import parse_float_tokens
+
+    vals = parse_float_tokens(text)
+    if vals.size == N_LAYERS * N_COLUMNS:
+        tau = vals.reshape(N_LAYERS, N_COLUMNS)
+    else:
+        rows = [[float(l[i:i + 8]) for i in range(0, 8 * N_COLUMNS, 8)]
+                for l in text.splitlines() if l.strip()]
+        tau = np.array(rows)
     assert tau.shape == (N_LAYERS, N_COLUMNS), tau.shape
     ext = tau[::-1].T[:, None, :] / DELTA_Z   # -> (nx, 1, nz), bottom layer first
     return ext

@@ -22,15 +22,25 @@ from i3rc_tpu.utils.errors import ValidationError
 def read_shdom_property_file(path):
     """Parse the property file; returns a dict of fields."""
     with open(path) as f:
-        tokens_lines = f.read().split("\n")
-    if not tokens_lines[0].strip().upper().startswith("T"):
+        text = f.read()
+    first_newline = text.find("\n")
+    if not text[:first_newline].strip().upper().startswith("T"):
         raise ValidationError(
             "this doesn't look like a tabulated phase function property file")
-    # Token stream after the first line (list-directed reads span lines).
-    stream = iter(" ".join(tokens_lines[1:]).split())
+    # Numeric token stream after the first line (list-directed reads span
+    # lines); bulk-parsed by the native helper (i3rc_tpu/native).
+    from i3rc_tpu.native import parse_float_tokens
+
+    numbers = parse_float_tokens(text[first_newline + 1:])
+    cursor = [0]
 
     def take(n, conv=float):
-        return [conv(next(stream)) for _ in range(n)]
+        i = cursor[0]
+        if i + n > numbers.size:
+            raise StopIteration
+        cursor[0] = i + n
+        chunk = numbers[i:i + n]
+        return [conv(v) for v in chunk]
 
     nx, ny, nz = take(3, int)
     delta_x, delta_y = take(2)
