@@ -45,15 +45,21 @@ from i3rc_tpu.utils.errors import Status
 
 
 def majorant_block_shape(grid_shape, block_size: int):
-    """Per-axis block edges (clamped to the axis, must divide it) or None."""
+    """Per-axis block sizes: the largest divisor of each axis <= block_size.
+
+    Returns None when the requested size is 0 (reference behavior: one
+    global maximum cross-section, monteCarloRadiativeTransfer.f95:439).
+    """
     if block_size <= 0:
         return None
-    bx = min(block_size, grid_shape[0])
-    by = min(block_size, grid_shape[1])
-    bz = min(block_size, grid_shape[2])
-    if grid_shape[0] % bx or grid_shape[1] % by or grid_shape[2] % bz:
-        return None  # fall back to the global majorant
-    return bx, by, bz
+
+    def best_divisor(n):
+        b = min(block_size, n)
+        while n % b:
+            b -= 1
+        return b
+
+    return tuple(best_divisor(n) for n in grid_shape)
 
 
 def block_majorants(total_ext: np.ndarray, blocks) -> np.ndarray:

@@ -47,14 +47,14 @@ def tally_multi(acc: jnp.ndarray, flat_idx, values) -> jnp.ndarray:
     one-hot generation stays narrow (see ops/gather.factored_read); exact
     because every output sums lanes whose contribution is value-or-zero.
     """
-    from i3rc_tpu.ops.gather import FACTOR_K, FACTOR_MIN_ROWS
+    from i3rc_tpu.ops.gather import FACTOR_MIN_ROWS, _factor_k
 
     c, m = acc.shape
     if c <= FACTOR_MIN_ROWS:
         onehot = (flat_idx[:, None] == jnp.arange(c, dtype=flat_idx.dtype)[None, :])
         return acc + jnp.matmul(onehot.astype(values.dtype).T, values,
                                 preferred_element_type=jnp.float32)
-    k = FACTOR_K
+    k = _factor_k(c, m)
     n_hi = -(-c // k)
     hi = flat_idx // k
     lo = flat_idx - hi * k
