@@ -38,6 +38,21 @@ def default_mesh(devices=None) -> Mesh:
     return Mesh(devices, axis_names=("batch",))
 
 
+def initialize_multihost(**kwargs) -> Mesh:
+    """Multi-host setup: the initializeProcesses analog for TPU pods.
+
+    Calls jax.distributed.initialize (coordinator/process ids from the
+    standard env vars or kwargs) and returns the global batch mesh spanning
+    every chip in the slice.  Output should be written by
+    jax.process_index() == 0 — the MasterProc convention
+    (multipleProcesses_mpi.f95:26-39; monteCarloDriver.f95:382).
+    """
+    import jax.distributed
+
+    jax.distributed.initialize(**kwargs)
+    return default_mesh()
+
+
 @dataclass(frozen=True)
 class BatchStats:
     """Mean and standard error over independent batches, per output field.
