@@ -76,7 +76,8 @@ class BatchStats:
 def run_batches(integrator, source, n_photons_per_batch: int, n_batches: int,
                 seed: int = 10, mesh: Mesh | None = None, derive=None,
                 n_lanes: int | None = None, optics_override=None,
-                batch_offset: int = 0, _return_sums: bool = False) -> BatchStats:
+                batch_offset: int = 0, rng_impl: str | None = None,
+                _return_sums: bool = False) -> BatchStats:
     """Run independent photon batches across the mesh and reduce moments.
 
     Results are independent of the device count: batch b always uses the
@@ -106,7 +107,10 @@ def run_batches(integrator, source, n_photons_per_batch: int, n_batches: int,
         def batch_fn(k):
             res = raw_fn(k)
             return {"results": res, "derived": derive(res)}
-    base_key = jax.random.PRNGKey(seed)
+    # rng_impl="rbg" swaps the wide per-event draws to the TPU hardware
+    # RngBitGenerator (see core/rng.batch_key); default stays threefry.
+    base_key = (jax.random.PRNGKey(seed) if rng_impl is None
+                else jax.random.key(seed, impl=rng_impl))
 
     def worker(ids):  # ids: (per_dev,) this device's global batch indices
         def body(carry, b):

@@ -59,6 +59,20 @@ def test_device_count_invariance(slab_integrator):
                                np.asarray(s8.stderr.flux_down), rtol=2e-2)
 
 
+def test_rbg_rng_impl(slab_integrator):
+    """Hardware-RNG key impl flows through the kernel; same physics."""
+    src = PhotonSource.directional(0.5, 0.0)
+    ref = run_batches(slab_integrator, src, 20_000, 8, seed=5)
+    rbg = run_batches(slab_integrator, src, 20_000, 8, seed=5, rng_impl="rbg")
+    fup_ref = float(ref.mean.flux_up.mean())
+    fup_rbg = float(rbg.mean.flux_up.mean())
+    sigma = float(ref.stderr.flux_up.mean()) + float(rbg.stderr.flux_up.mean())
+    assert abs(fup_ref - fup_rbg) < 3 * sigma
+    total = float(rbg.mean.flux_up.mean() + 0.9 * rbg.mean.flux_down.mean()
+                  + rbg.mean.flux_absorbed.mean())
+    assert abs(total - 1.0) < 5e-3
+
+
 def test_solar_flux_scaling(slab_integrator):
     src = PhotonSource.directional(0.5, 0.0)
     stats = run_batches(slab_integrator, src, 2_000, 4, seed=1)
