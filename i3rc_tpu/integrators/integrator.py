@@ -83,7 +83,22 @@ def device_optics_from_flat(flat: FlatOptics, majorant_block_size: int = 0) -> D
     blocks = majorant_block_shape(flat.total_ext.shape, majorant_block_size)
     majorant = (block_majorants(flat.total_ext, blocks) if blocks
                 else np.zeros(0, np.float32))
+    # Single-component uniformity flags (kernel specializations).  Only
+    # cells with extinction matter: ssa/phase values are never consumed
+    # where no physical collision can occur.
+    uniform_ssa = uniform_pf = None
+    if n_comp == 1:
+        occupied = flat.total_ext.ravel() > 0.0
+        if occupied.any():
+            s = flat.ssa.ravel()[occupied]
+            p = flat.phase_index.ravel()[occupied]
+            if np.all(s == s[0]):
+                uniform_ssa = float(s[0])
+            if np.all(p == p[0]):
+                uniform_pf = int(p[0])
     return DeviceOptics(
+        uniform_ssa=uniform_ssa,
+        uniform_phase_index=uniform_pf,
         cell_matrix=jnp.asarray(cell_matrix),
         total_ext=jnp.asarray(flat.total_ext.ravel()),
         cumulative_ext=jnp.asarray(flat.cumulative_ext.ravel()),

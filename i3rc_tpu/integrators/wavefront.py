@@ -83,6 +83,12 @@ class DeviceOptics:
     max_extinction: jax.Array  # scalar float32 (traced: varies per k-point)
     block_majorant: jax.Array  # (n_blocks,) super-voxel majorants; (0,) if off
     n_components: int
+    # Static single-component specializations (None when not applicable):
+    # spatially uniform ssa / phase index over every cell with extinction.
+    # The kernel then reads only the extinction column and skips the
+    # component pick; uniform_ssa == 1.0 also drops the absorption tally.
+    uniform_ssa: float | None = None
+    uniform_phase_index: int | None = None
 
     @property
     def n_cells(self) -> int:
@@ -97,7 +103,7 @@ jax.tree_util.register_dataclass(
     DeviceOptics,
     data_fields=["cell_matrix", "total_ext", "cumulative_ext", "ssa",
                  "phase_index", "max_extinction", "block_majorant"],
-    meta_fields=["n_components"])
+    meta_fields=["n_components", "uniform_ssa", "uniform_phase_index"])
 
 
 @dataclass(frozen=True)
@@ -233,6 +239,9 @@ def make_batch_tracer(geom: GridGeometry, optics: DeviceOptics, tables: DeviceTa
     # then collisions resolved physical/null against the fine cell. Removes
     # the global-majorant null-collision tax in optically thin regions.
     use_woodcock = (not use_rt) and coarse_geom is not None
+    # Zero-albedo Lambertian surface: photons hitting the bottom always die,
+    # so the per-event reflection math compiles away (see event_step).
+    black_surface = (not surface.uses_brdf) and float(surface.albedo) == 0.0
     if use_woodcock:
         max_block_crossings = max(64, 4 * (coarse_geom.n_x + coarse_geom.n_y
                                            + coarse_geom.n_z))
@@ -471,12 +480,24 @@ def make_batch_tracer(geom: GridGeometry, optics: DeviceOptics, tables: DeviceTa
 
         flat_cell = (rix * n_y + riy) * n_z + riz
 
+        # Static one-component specializations (meta fields of the optics
+        # pytree, so spectral overrides recompile as needed): uniform ssa and
+        # phase table shrink the fused read to the extinction column and
+        # delete the component pick; ssa == 1 also drops the absorbed tally.
+        uniform1 = (opt.n_components == 1 and optics.use_onehot
+                    and opt.uniform_ssa is not None
+                    and opt.uniform_phase_index is not None)
+        conservative = uniform1 and opt.uniform_ssa == 1.0
+
         # --- one fused read of all per-cell optics --------------------------
-        cell = read_cell_data(opt, flat_cell)      # (L, 1 + 3*ncomp)
-        cell_ext = cell[:, 0]
-        cum = cell[:, 1:1 + n_comp]
-        ssa_cols = cell[:, 1 + n_comp:1 + 2 * n_comp]
-        pfi_cols = cell[:, 1 + 2 * n_comp:1 + 3 * n_comp]
+        if uniform1:
+            cell_ext = read_rows(opt.cell_matrix[:, :1], flat_cell)[:, 0]
+        else:
+            cell = read_cell_data(opt, flat_cell)      # (L, 1 + 3*ncomp)
+            cell_ext = cell[:, 0]
+            cum = cell[:, 1:1 + n_comp]
+            ssa_cols = cell[:, 1 + n_comp:1 + 2 * n_comp]
+            pfi_cols = cell[:, 1 + 2 * n_comp:1 + 3 * n_comp]
 
         if use_rt:
             physical = collide  # every ray-traced collision is physical
@@ -488,24 +509,37 @@ def make_batch_tracer(geom: GridGeometry, optics: DeviceOptics, tables: DeviceTa
             physical = collide & (u_accept < cell_ext * inv_max_ext)
 
         # --- surface reflection (:515-580) ----------------------------------
-        new_mu_s = jnp.maximum(jnp.sqrt(u_srf_mu), _MIN_MU)  # mu = sqrt(u) (:547)
-        new_phi_s = 2.0 * PI * u_srf_phi
-        phi_in = jnp.arctan2(uy, ux)
-        refl = surface_reflectance(rx, ry, uz, new_mu_s, phi_in, new_phi_s)
-        w_srf = w * refl
-        surf_alive = exit_bot & (w_srf > TINY)
-        sux, suy, suz = make_direction_cosines(new_mu_s, new_phi_s)
+        if black_surface:
+            # Static specialization: a zero-albedo Lambertian surface absorbs
+            # every photon, so the reflection trig (sqrt/atan2/sincos per lane
+            # per event) is dropped from the compiled loop entirely.
+            w_srf = jnp.zeros_like(w)
+            surf_alive = jnp.zeros_like(exit_bot)
+            sux, suy, suz = ux, uy, uz
+        else:
+            new_mu_s = jnp.maximum(jnp.sqrt(u_srf_mu), _MIN_MU)  # mu = sqrt(u) (:547)
+            new_phi_s = 2.0 * PI * u_srf_phi
+            phi_in = jnp.arctan2(uy, ux)
+            refl = surface_reflectance(rx, ry, uz, new_mu_s, phi_in, new_phi_s)
+            w_srf = w * refl
+            surf_alive = exit_bot & (w_srf > TINY)
+            sux, suy, suz = make_direction_cosines(new_mu_s, new_phi_s)
 
         # --- physical collision: component pick + absorption (:634-649) -----
-        comp = jnp.sum((u_comp[:, None] >= cum).astype(jnp.int32), axis=1)
-        comp = jnp.clip(comp, 0, n_comp - 1)
-        if n_comp == 1:
-            ssa_v = ssa_cols[:, 0]
-            pf_idx = pfi_cols[:, 0].astype(jnp.int32)
+        if uniform1:
+            comp = jnp.zeros(L, jnp.int32)
+            ssa_v = jnp.full((L,), opt.uniform_ssa, jnp.float32)
+            pf_idx = jnp.full((L,), opt.uniform_phase_index, jnp.int32)
         else:
-            sel = jax.nn.one_hot(comp, n_comp, dtype=jnp.float32)
-            ssa_v = jnp.sum(ssa_cols * sel, axis=1)
-            pf_idx = jnp.sum(pfi_cols * sel, axis=1).astype(jnp.int32)
+            comp = jnp.sum((u_comp[:, None] >= cum).astype(jnp.int32), axis=1)
+            comp = jnp.clip(comp, 0, n_comp - 1)
+            if n_comp == 1:
+                ssa_v = ssa_cols[:, 0]
+                pf_idx = pfi_cols[:, 0].astype(jnp.int32)
+            else:
+                sel = jax.nn.one_hot(comp, n_comp, dtype=jnp.float32)
+                ssa_v = jnp.sum(ssa_cols * sel, axis=1)
+                pf_idx = jnp.sum(pfi_cols * sel, axis=1).astype(jnp.int32)
         absorbed = w * (1.0 - ssa_v)
         w_sc = w * ssa_v
         order_next = order + (physical | exit_bot).astype(jnp.int32)
@@ -522,13 +556,13 @@ def make_batch_tracer(geom: GridGeometry, optics: DeviceOptics, tables: DeviceTa
             ], axis=1)
             tallies["cells"] = tally_multi(tallies["cells"], flat_cell, tally_vals)
         elif optics.use_onehot:
-            tally_vals = jnp.stack([
-                jnp.where(exit_top, w, 0.0),
-                jnp.where(exit_bot, w, 0.0),
-                jnp.where(physical, absorbed, 0.0),
-            ], axis=1)
+            tally_cols = [jnp.where(exit_top, w, 0.0),
+                          jnp.where(exit_bot, w, 0.0)]
+            if not conservative:     # ssa == 1 -> absorbed is identically 0
+                tally_cols.append(jnp.where(physical, absorbed, 0.0))
             col = rix * n_y + riy
-            tallies["columns"] = tally_multi(tallies["columns"], col, tally_vals)
+            tallies["columns"] = tally_multi(tallies["columns"], col,
+                                             jnp.stack(tally_cols, axis=1))
         else:
             col = rix * n_y + riy
             tallies["flux_up"] = tally_add(tallies["flux_up"], col, w, exit_top)
@@ -610,10 +644,15 @@ def make_batch_tracer(geom: GridGeometry, optics: DeviceOptics, tables: DeviceTa
             "intensity_excess": jnp.zeros(
                 n_dirs * (n_comp + 1) if compute_intensity else 0, jnp.float32),
         }
+        # Mirrors event_step's static specialization flags (same expressions).
+        conservative = (opt.n_components == 1 and optics.use_onehot
+                        and opt.uniform_ssa == 1.0
+                        and opt.uniform_phase_index is not None)
         if optics.use_onehot and config.compute_volume_absorption:
             tallies["cells"] = jnp.zeros((n_cells, 4), jnp.float32)
         elif optics.use_onehot:
-            tallies["columns"] = jnp.zeros((n_x * n_y, 3), jnp.float32)
+            tallies["columns"] = jnp.zeros((n_x * n_y, 2 if conservative else 3),
+                                           jnp.float32)
         else:
             tallies["flux_up"] = jnp.zeros(n_x * n_y, jnp.float32)
             tallies["flux_down"] = jnp.zeros(n_x * n_y, jnp.float32)
@@ -647,7 +686,8 @@ def make_batch_tracer(geom: GridGeometry, optics: DeviceOptics, tables: DeviceTa
         elif optics.use_onehot:
             flux_up = tallies["columns"][:, 0]
             flux_down = tallies["columns"][:, 1]
-            flux_absorbed = tallies["columns"][:, 2]
+            flux_absorbed = (jnp.zeros(n_x * n_y, jnp.float32) if conservative
+                             else tallies["columns"][:, 2])
             volume_absorption = jnp.zeros(n_x * n_y * n_z, jnp.float32)
         else:
             flux_up = tallies["flux_up"]
