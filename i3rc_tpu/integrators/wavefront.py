@@ -172,6 +172,33 @@ def make_direction_cosines(mu, phi):
     return sin_theta * jnp.cos(phi), sin_theta * jnp.sin(phi), mu
 
 
+def _sincos_2pi(u):
+    """(sin, cos) of 2 pi u for u in [0, 1) — quarter-wave polynomials.
+
+    The azimuth deviate spans exactly one period, so no range reduction is
+    needed: quadrant from floor(4u), then degree-7/8 least-squares fits on
+    the quarter wave (max error 1.6e-6, below accumulated float32 noise; the
+    rotated direction is renormalized afterwards regardless).  XLA's generic
+    sin/cos lower to range-reduced polynomials about twice this size, and
+    the rotation was measured at ~40% of the event-loop iteration.
+    """
+    t = 4.0 * u
+    q = jnp.floor(t)
+    r = t - q
+    r2 = r * r
+    s = r * (1.5707924 + r2 * (-0.64590601
+                               + r2 * (0.07946485 + r2 * (-0.0043527978))))
+    c = 0.99999997 + r2 * (-1.2336987
+                           + r2 * (0.25365383
+                                   + r2 * (-0.020816208 + r2 * 8.612909e-4)))
+    swap = (q == 1.0) | (q == 3.0)
+    sin_q = jnp.where(swap, c, s)
+    cos_q = jnp.where(swap, s, c)
+    sign_sin = jnp.where(q >= 2.0, -1.0, 1.0)
+    sign_cos = jnp.where((q == 1.0) | (q == 2.0), -1.0, 1.0)
+    return sign_sin * sin_q, sign_cos * cos_q
+
+
 def rotate_direction(ux, uy, uz, cos_scat, u_azimuth):
     """New direction after scattering by cos_scat with uniform azimuth.
 
@@ -179,14 +206,14 @@ def rotate_direction(ux, uy, uz, cos_scat, u_azimuth):
     rejection sampler draws a uniform azimuth; here chi = 2 pi u feeds the
     standard rotation, branch-free, then renormalizes (float32 drift).
     """
-    chi = 2.0 * PI * u_azimuth
-    cos_chi = jnp.cos(chi)
-    sin_chi = jnp.sin(chi)
+    sin_chi, cos_chi = _sincos_2pi(u_azimuth)
     sin_scat = jnp.sqrt(jnp.maximum(1.0 - cos_scat * cos_scat, 0.0))
     denom2 = jnp.maximum(1.0 - uz * uz, 0.0)
-    denom = jnp.sqrt(denom2)
+    # One rsqrt supplies both sqrt(denom2) and its reciprocal.
+    rs = jax.lax.rsqrt(jnp.maximum(denom2, 1e-12))
+    denom = denom2 * rs
     near_pole = denom < 1e-6
-    inv_denom = jnp.where(near_pole, 0.0, 1.0 / jnp.maximum(denom, 1e-12))
+    inv_denom = jnp.where(near_pole, 0.0, rs)
     nx = sin_scat * (ux * uz * cos_chi - uy * sin_chi) * inv_denom + ux * cos_scat
     ny = sin_scat * (uy * uz * cos_chi + ux * sin_chi) * inv_denom + uy * cos_scat
     nz = -sin_scat * cos_chi * denom + uz * cos_scat
@@ -390,13 +417,50 @@ def make_batch_tracer(geom: GridGeometry, optics: DeviceOptics, tables: DeviceTa
         return tallies
 
     def event_step(opt, key, source, k, state):
-        (alive, launched, x, y, z, ux, uy, uz, w,
-         ix, iy, iz, order, tallies) = state
+        if use_rt:
+            (alive, launched, x, y, z, ux, uy, uz, w,
+             ix, iy, iz, order, tallies) = state
+        else:
+            # Cell indices are recomputed from positions each event in the
+            # Woodcock / max cross-section modes, so they stay out of the
+            # loop carry (3 fewer arrays to mask and spill per iteration).
+            (alive, launched, x, y, z, ux, uy, uz, w, order, tallies) = state
+            ix = iy = iz = None
+
+        # Static one-component specializations (meta fields of the optics
+        # pytree, so spectral overrides recompile as needed): uniform ssa and
+        # phase table shrink the fused read to the extinction column and
+        # delete the component pick; ssa == 1 also drops the absorbed tally.
+        uniform1 = (opt.n_components == 1 and optics.use_onehot
+                    and opt.uniform_ssa is not None
+                    and opt.uniform_phase_index is not None)
+        conservative = uniform1 and opt.uniform_ssa == 1.0
+        # Weight-based roulette can only ever fire if some mechanism reduces
+        # photon weight below 1 (absorption, a reflecting surface, or the
+        # intensity estimator's weight handling).
+        rr_active = config.use_russian_roulette and not (
+            conservative and black_surface and not compute_intensity)
+
         ek = jax.random.fold_in(key, k)
         ks = jax.random.split(ek, 3)
-        # One threefry pass supplies all eight per-lane deviates for the event.
-        u = jax.random.uniform(ks[0], (8, L), dtype=jnp.float32)
-        (u_tau, u_srf_mu, u_srf_phi, u_comp, u_rr, u_scat, u_chi, u_accept) = u
+        # One hardware-RNG pass supplies every per-lane deviate this compiled
+        # configuration can consume; rows for statically-dead branches
+        # (black surface, uniform optics, inactive roulette) are not drawn.
+        names = ["tau", "scat", "chi"]
+        if not use_rt:
+            names.append("accept")
+        if not black_surface:
+            names += ["srf_mu", "srf_phi"]
+        if not uniform1:
+            names.append("comp")
+        if rr_active:
+            names.append("rr")
+        u = jax.random.uniform(ks[0], (len(names), L), dtype=jnp.float32)
+        d = {n: u[i] for i, n in enumerate(names)}
+        u_tau, u_scat, u_chi = d["tau"], d["scat"], d["chi"]
+        u_accept = d.get("accept")
+        u_srf_mu, u_srf_phi = d.get("srf_mu"), d.get("srf_phi")
+        u_comp, u_rr = d.get("comp"), d.get("rr")
         k_int, k_refill = ks[1], ks[2]
 
         # --- persistent-photon refill of dead lanes -------------------------
@@ -415,9 +479,10 @@ def make_batch_tracer(geom: GridGeometry, optics: DeviceOptics, tables: DeviceTa
             uz = jnp.where(refill, fuz, uz)
             w = jnp.where(refill, 1.0, w)
             order = jnp.where(refill, 0, order)
-            ix = jnp.where(refill, geom.locate_x(x), ix)
-            iy = jnp.where(refill, geom.locate_y(y), iy)
-            iz = jnp.where(refill, geom.locate_z(z), iz)
+            if use_rt:
+                ix = jnp.where(refill, geom.locate_x(x), ix)
+                iy = jnp.where(refill, geom.locate_y(y), iy)
+                iz = jnp.where(refill, geom.locate_z(z), iz)
             launched = launched + jnp.sum(refill.astype(jnp.int32))
             alive = alive | refill
 
@@ -479,15 +544,6 @@ def make_batch_tracer(geom: GridGeometry, optics: DeviceOptics, tables: DeviceTa
             bad = jnp.zeros_like(alive)
 
         flat_cell = (rix * n_y + riy) * n_z + riz
-
-        # Static one-component specializations (meta fields of the optics
-        # pytree, so spectral overrides recompile as needed): uniform ssa and
-        # phase table shrink the fused read to the extinction column and
-        # delete the component pick; ssa == 1 also drops the absorbed tally.
-        uniform1 = (opt.n_components == 1 and optics.use_onehot
-                    and opt.uniform_ssa is not None
-                    and opt.uniform_phase_index is not None)
-        conservative = uniform1 and opt.uniform_ssa == 1.0
 
         # --- one fused read of all per-cell optics --------------------------
         if uniform1:
@@ -582,7 +638,7 @@ def make_batch_tracer(geom: GridGeometry, optics: DeviceOptics, tables: DeviceTa
                 ux, uy, uz, w_event, comp, pf_idx, order_next, tallies)
 
         # --- Russian roulette (:673-679) --------------------------------------
-        if config.use_russian_roulette:
+        if rr_active:
             rr_w = config.russian_roulette_w
             do_rr = physical & (w_sc < rr_w / 2.0)
             killed = do_rr & (u_rr >= w_sc / rr_w)
@@ -603,9 +659,10 @@ def make_batch_tracer(geom: GridGeometry, optics: DeviceOptics, tables: DeviceTa
         x = jnp.where(moved, rx, x)
         y = jnp.where(moved, ry, y)
         z = jnp.where(surf_alive, geom.z0, jnp.where(moved, rz, z))
-        ix = jnp.where(moved, rix, ix)
-        iy = jnp.where(moved, riy, iy)
-        iz = jnp.where(surf_alive, 0, jnp.where(moved, riz, iz))
+        if use_rt:
+            ix = jnp.where(moved, rix, ix)
+            iy = jnp.where(moved, riy, iy)
+            iz = jnp.where(surf_alive, 0, jnp.where(moved, riz, iz))
         ux = jnp.where(scat_alive, nux, jnp.where(surf_alive, sux, ux))
         uy = jnp.where(scat_alive, nuy, jnp.where(surf_alive, suy, uy))
         uz = jnp.where(scat_alive, nuz, jnp.where(surf_alive, suz, uz))
@@ -615,7 +672,10 @@ def make_batch_tracer(geom: GridGeometry, optics: DeviceOptics, tables: DeviceTa
         tallies["n_bad"] = tallies["n_bad"] + jnp.sum(bad).astype(jnp.int32)
         tallies["n_lane_events"] = tallies["n_lane_events"] + jnp.sum(
             (exit_top | exit_bot | collide).astype(jnp.float32))
-        return (alive, launched, x, y, z, ux, uy, uz, w, ix, iy, iz, order, tallies)
+        if use_rt:
+            return (alive, launched, x, y, z, ux, uy, uz, w, ix, iy, iz,
+                    order, tallies)
+        return (alive, launched, x, y, z, ux, uy, uz, w, order, tallies)
 
     def trace(key, batch, source=None, optics_override=None):
         opt = optics if optics_override is None else optics_override
@@ -625,9 +685,10 @@ def make_batch_tracer(geom: GridGeometry, optics: DeviceOptics, tables: DeviceTa
         y = geom.y0 + batch.y * (geom.y_max - geom.y0)
         z = geom.z0 + batch.z * (geom.z_max - geom.z0)
         ux, uy, uz = make_direction_cosines(batch.mu, batch.phi)
-        ix = geom.locate_x(x)
-        iy = geom.locate_y(y)
-        iz = geom.locate_z(z)
+        if use_rt:
+            ix = geom.locate_x(x)
+            iy = geom.locate_y(y)
+            iz = geom.locate_z(z)
         w = jnp.ones(L, dtype=jnp.float32)
         order = jnp.zeros(L, dtype=jnp.int32)
         lane_ids = jnp.arange(L, dtype=jnp.int32)
@@ -670,10 +731,14 @@ def make_batch_tracer(geom: GridGeometry, optics: DeviceOptics, tables: DeviceTa
             k, state = carry
             return k + 1, event_step(opt, key, source, k, state)
 
-        state = (alive, launched, x, y, z, ux, uy, uz, w, ix, iy, iz, order, tallies)
+        if use_rt:
+            state = (alive, launched, x, y, z, ux, uy, uz, w, ix, iy, iz,
+                     order, tallies)
+        else:
+            state = (alive, launched, x, y, z, ux, uy, uz, w, order, tallies)
         k_final, state = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
         alive = state[0]
-        tallies = state[13]
+        tallies = state[-1]
         # Lanes alive at the iteration cap vanish with their weight: count bad.
         n_bad = tallies["n_bad"] + jnp.sum(alive).astype(jnp.int32)
 
