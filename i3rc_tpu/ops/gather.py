@@ -20,17 +20,29 @@ import jax.numpy as jnp
 # loses to the serialized gather (measured ~8 ns/lane on v5e).
 ONEHOT_MAX_ROWS = 262144
 
+# TPU matmuls at DEFAULT precision round f32 operands to bfloat16 — measured
+# 2^-9 relative error, enough to corrupt integer payloads above 256 (phase
+# indices) and to bias the step-cloud flux by 8e-4.  "high" (multi-pass
+# bf16) reads values to 1.4e-5 relative and integers below 2^16 exactly —
+# far inside every other approximation in the pipeline (cubic inverse-CDF
+# 3e-7, float32 position accumulation) — and costs ~3% end-to-end vs the
+# biased default; "highest" is bit-exact at ~11%.  Payload ranges here
+# (extinctions, albedos, cubic coefficients, phase indices < 2^16) make
+# "high" safe; flip to "highest" to make every read bit-exact.
+DOT_PRECISION = "high"
+
 
 def onehot_read(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """rows (L,) gathered from table (R, m) -> (L, m) via fused one-hot matmul.
 
-    Exact: the one-hot operand is 0/1 in float32, so the matmul reproduces
-    table values bit-exactly (each output sums exactly one f32 value).
+    Each output sums exactly one table value (single-nonzero one-hot), read
+    at DOT_PRECISION (see note above; bit-exact under "highest").
     """
     r = table.shape[0]
     iota = jnp.arange(r, dtype=idx.dtype)
     onehot = (idx[:, None] == iota[None, :]).astype(table.dtype)
-    return jnp.matmul(onehot, table, preferred_element_type=jnp.float32)
+    return jnp.matmul(onehot, table, preferred_element_type=jnp.float32,
+                      precision=DOT_PRECISION)
 
 
 # Row split for the factorized read/tally; rows padded to a multiple of this.
@@ -55,9 +67,10 @@ def factored_read(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 
     VPU cost drops from L*R compares to ~L*(K + (R/K)*(m+1)): the wide
     one-hot generation — the dominant per-event cost on TPU — is replaced by
-    an MXU matmul whose operand is a K-wide one-hot.  Exact like onehot_read:
-    every reduction has exactly one nonzero term.  K adapts to the table
-    shape, so even ~100k-row tables (radar-cloud domains) stay vectorized.
+    an MXU matmul whose operand is a K-wide one-hot.  Like onehot_read,
+    every reduction has exactly one nonzero term and runs at DOT_PRECISION.
+    K adapts to the table shape, so even ~100k-row tables (radar-cloud
+    domains) stay vectorized.
     """
     r, m = table.shape
     k = _factor_k(r, m)
@@ -70,7 +83,8 @@ def factored_read(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     # M[l, hi, j] = sum_lo oh_lo[l, lo] * table[hi*K + lo, j]   (MXU)
     t3 = table.reshape(n_hi, k, m)
     mm = jnp.matmul(oh_lo, t3.transpose(1, 0, 2).reshape(k, n_hi * m),
-                    preferred_element_type=jnp.float32).reshape(-1, n_hi, m)
+                    preferred_element_type=jnp.float32,
+                    precision=DOT_PRECISION).reshape(-1, n_hi, m)
     oh_hi = (hi[:, None] == jnp.arange(n_hi, dtype=idx.dtype)[None, :]).astype(table.dtype)
     return jnp.sum(mm * oh_hi[:, :, None], axis=1)
 

@@ -32,10 +32,13 @@ def tally_onehot(acc: jnp.ndarray, flat_idx, values) -> jnp.ndarray:
     Masked lanes must carry value 0 (an in-range index with zero value is
     harmless, unlike scatter's mode="drop" which needs no masking).
     """
+    from i3rc_tpu.ops.gather import DOT_PRECISION
+
     n_cells = acc.shape[0]
     onehot = (flat_idx[:, None] == jnp.arange(n_cells, dtype=flat_idx.dtype)[None, :])
     return acc + jnp.matmul(values[None, :], onehot.astype(values.dtype),
-                            preferred_element_type=jnp.float32)[0]
+                            preferred_element_type=jnp.float32,
+                            precision=DOT_PRECISION)[0]
 
 
 def tally_multi(acc: jnp.ndarray, flat_idx, values) -> jnp.ndarray:
@@ -47,13 +50,14 @@ def tally_multi(acc: jnp.ndarray, flat_idx, values) -> jnp.ndarray:
     one-hot generation stays narrow (see ops/gather.factored_read); exact
     because every output sums lanes whose contribution is value-or-zero.
     """
-    from i3rc_tpu.ops.gather import FACTOR_MIN_ROWS, _factor_k
+    from i3rc_tpu.ops.gather import DOT_PRECISION, FACTOR_MIN_ROWS, _factor_k
 
     c, m = acc.shape
     if c <= FACTOR_MIN_ROWS:
         onehot = (flat_idx[:, None] == jnp.arange(c, dtype=flat_idx.dtype)[None, :])
         return acc + jnp.matmul(onehot.astype(values.dtype).T, values,
-                                preferred_element_type=jnp.float32)
+                                preferred_element_type=jnp.float32,
+                                precision=DOT_PRECISION)
     k = _factor_k(c, m)
     n_hi = -(-c // k)
     hi = flat_idx // k
@@ -62,7 +66,8 @@ def tally_multi(acc: jnp.ndarray, flat_idx, values) -> jnp.ndarray:
     # W[l, lo, j] = oh_lo * value; tally[hi, lo, j] = oh_hi.T @ W  (MXU)
     w = (oh_lo[:, :, None] * values[:, None, :]).reshape(values.shape[0], k * m)
     oh_hi = (hi[:, None] == jnp.arange(n_hi, dtype=flat_idx.dtype)[None, :]).astype(values.dtype)
-    t = jnp.matmul(oh_hi.T, w, preferred_element_type=jnp.float32)
+    t = jnp.matmul(oh_hi.T, w, preferred_element_type=jnp.float32,
+                   precision=DOT_PRECISION)
     t = t.reshape(n_hi * k, m)[:c]
     return acc + t
 
