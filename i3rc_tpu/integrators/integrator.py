@@ -77,7 +77,9 @@ def device_optics_from_flat(flat: FlatOptics, majorant_block_size: int = 0) -> D
     cell_matrix = np.concatenate([
         flat.total_ext.reshape(n_cells, 1),
         flat.cumulative_ext.reshape(n_cells, n_comp),
-        flat.ssa.reshape(n_cells, n_comp),
+        # CO-albedo: keeps the absorbed fraction of nearly-conservative
+        # media at full relative accuracy through the one-hot read.
+        1.0 - flat.ssa.reshape(n_cells, n_comp),
         flat.phase_index.reshape(n_cells, n_comp).astype(np.float32),
     ], axis=1)
     blocks = majorant_block_shape(flat.total_ext.shape, majorant_block_size)

@@ -70,7 +70,9 @@ class DeviceOptics:
     loop can swap per-band/per-k optics through the SAME compiled kernel.
 
     ``cell_matrix`` packs every per-cell quantity as float32 columns:
-      [ total_ext | cum_1..cum_n | ssa_1..ssa_n | pfidx_1..pfidx_n ]
+      [ total_ext | cum_1..cum_n | (1-ssa)_1..(1-ssa)_n | pfidx_1..pfidx_n ]
+    — the absorption block stores CO-albedo so nearly-conservative media
+    keep full relative accuracy through the one-hot read (see read_cell_data)
     (phase indices are small ints, exact in float32).  The flat arrays remain
     for the serialized-gather fallback on very large domains.
     """
@@ -280,15 +282,21 @@ def make_batch_tracer(geom: GridGeometry, optics: DeviceOptics, tables: DeviceTa
     max_iters = config.max_events * (n_photons // L + 2)
 
     def read_cell_data(opt, flat_cell):
-        """One fused read of every per-cell quantity: (L, 1 + 3*ncomp)."""
+        """One fused read of every per-cell quantity: (L, 1 + 3*ncomp).
+
+        The absorption block carries CO-albedo (1 - ssa): the absorbed
+        fraction of nearly-conservative media would lose all relative
+        accuracy to the read's 1.4e-5 error if ssa itself were stored
+        (1 - 0.99999 amplifies it 10^5-fold).
+        """
         if optics.use_onehot:
             return read_rows(opt.cell_matrix, flat_cell)
         base = flat_cell * n_comp
         cols = [opt.total_ext[flat_cell]]
         cum = opt.cumulative_ext[base[:, None] + comp_offsets[None, :]]
-        ssa = opt.ssa[base[:, None] + comp_offsets[None, :]]
+        coalb = 1.0 - opt.ssa[base[:, None] + comp_offsets[None, :]]
         pfi = opt.phase_index[base[:, None] + comp_offsets[None, :]]
-        return jnp.concatenate([cols[0][:, None], cum, ssa,
+        return jnp.concatenate([cols[0][:, None], cum, coalb,
                                 pfi.astype(jnp.float32)], axis=1)
 
     def sample_cos_scat(comp, pf_idx, u):
@@ -552,7 +560,7 @@ def make_batch_tracer(geom: GridGeometry, optics: DeviceOptics, tables: DeviceTa
             cell = read_cell_data(opt, flat_cell)      # (L, 1 + 3*ncomp)
             cell_ext = cell[:, 0]
             cum = cell[:, 1:1 + n_comp]
-            ssa_cols = cell[:, 1 + n_comp:1 + 2 * n_comp]
+            coalb_cols = cell[:, 1 + n_comp:1 + 2 * n_comp]   # 1 - ssa
             pfi_cols = cell[:, 1 + 2 * n_comp:1 + 3 * n_comp]
 
         if use_rt:
@@ -584,20 +592,20 @@ def make_batch_tracer(geom: GridGeometry, optics: DeviceOptics, tables: DeviceTa
         # --- physical collision: component pick + absorption (:634-649) -----
         if uniform1:
             comp = jnp.zeros(L, jnp.int32)
-            ssa_v = jnp.full((L,), opt.uniform_ssa, jnp.float32)
+            coalb_v = jnp.full((L,), 1.0 - opt.uniform_ssa, jnp.float32)
             pf_idx = jnp.full((L,), opt.uniform_phase_index, jnp.int32)
         else:
             comp = jnp.sum((u_comp[:, None] >= cum).astype(jnp.int32), axis=1)
             comp = jnp.clip(comp, 0, n_comp - 1)
             if n_comp == 1:
-                ssa_v = ssa_cols[:, 0]
+                coalb_v = coalb_cols[:, 0]
                 pf_idx = pfi_cols[:, 0].astype(jnp.int32)
             else:
                 sel = jax.nn.one_hot(comp, n_comp, dtype=jnp.float32)
-                ssa_v = jnp.sum(ssa_cols * sel, axis=1)
+                coalb_v = jnp.sum(coalb_cols * sel, axis=1)
                 pf_idx = jnp.sum(pfi_cols * sel, axis=1).astype(jnp.int32)
-        absorbed = w * (1.0 - ssa_v)
-        w_sc = w * ssa_v
+        absorbed = w * coalb_v
+        w_sc = w * (1.0 - coalb_v)
         order_next = order + (physical | exit_bot).astype(jnp.int32)
 
         # --- all tallies in one fused transpose-matmul ------------------------

@@ -318,19 +318,21 @@ def make_flux_kernel(plan: PallasPlan, interpret: bool = False):
             comp = jnp.zeros((R, 128), jnp.int32)
             for j in range(n_comp - 1):
                 comp = comp + (u_comp >= cell[1 + j]).astype(jnp.int32)
+            # The cell matrix stores CO-albedo (1 - ssa) in the absorption
+            # block (see integrators/integrator.device_optics_from_flat).
             if n_comp == 1:
-                ssa_v = cell[1 + n_comp]
+                coalb_v = cell[1 + n_comp]
                 pf_idx = cell[1 + 2 * n_comp].astype(jnp.int32)
             else:
-                ssa_v = jnp.zeros((R, 128), jnp.float32)
+                coalb_v = jnp.zeros((R, 128), jnp.float32)
                 pf_idx_f = jnp.zeros((R, 128), jnp.float32)
                 for j in range(n_comp):
                     selj = (comp == j).astype(jnp.float32)
-                    ssa_v = ssa_v + selj * cell[1 + n_comp + j]
+                    coalb_v = coalb_v + selj * cell[1 + n_comp + j]
                     pf_idx_f = pf_idx_f + selj * cell[1 + 2 * n_comp + j]
                 pf_idx = pf_idx_f.astype(jnp.int32)
-            absorbed = w * (1.0 - ssa_v)
-            w_sc = w * ssa_v
+            absorbed = w * coalb_v
+            w_sc = w * (1.0 - coalb_v)
 
             # --- surface reflection (Lambertian albedo) --------------------------
             new_mu = jnp.maximum(jnp.sqrt(_uniform(R)), 1e-6)
