@@ -166,10 +166,12 @@ def trace_extinction(geom: GridGeometry, total_ext_flat: jax.Array,
         flat = jnp.clip((ix * n_y + iy) * n_z + iz, 0, total_ext_flat.shape[0] - 1)
         if cell_matrix is not None:
             # Fused one-hot matmul read: serialized gathers cost ~8 ns/lane
-            # on TPU (see ops/gather.py); the extinction column ride the MXU.
-            from i3rc_tpu.ops.gather import onehot_read
+            # on TPU (see ops/gather.py); the extinction column rides the MXU.
+            # read_rows factorizes the one-hot above 128 rows — this runs once
+            # per grid crossing, so the narrow split matters here most of all.
+            from i3rc_tpu.ops.gather import read_rows
 
-            cell_ext = onehot_read(cell_matrix[:, :1], flat)[:, 0]
+            cell_ext = read_rows(cell_matrix[:, :1], flat)[:, 0]
         else:
             cell_ext = total_ext_flat[flat]
 
