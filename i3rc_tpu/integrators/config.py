@@ -61,6 +61,15 @@ class IntegratorConfig:
     # divide each grid dimension, clamped per-axis); 0 = reference behavior.
     # Unbiased: identical expectation, different (better) event count.
     majorant_block_size: int = 0
+    # Unbiased stochastic transmittance for local-estimate radiances (ratio
+    # tracking over the super-voxel majorant grid, Galtier et al. 2013 style
+    # null-collision estimator) instead of the deterministic cell-by-cell
+    # optical-depth trace.  Requires majorant_block_size > 0.  Expected cost
+    # per contribution drops from O(cells crossed) to O(majorant optical
+    # depth), with roulette on the running transmittance (zeta_min) bounding
+    # deep paths; adds variance, identical expectation (no reference analog —
+    # the reference always traces exactly, :1512-1535).
+    use_ratio_tracking_for_intensity: bool = False
     # --- TPU kernel budgets (no reference analog; see module docstring) ----
     max_events: int = 1000          # scattering orders per photon
     max_crossings: int = 0          # 0 -> auto: 8 * (nx + ny + nz)
@@ -91,6 +100,10 @@ class IntegratorConfig:
         if cfg.min_inverse_table_size < DEFAULT_MIN_INVERSE_TABLE_SIZE:
             s.warnings.append("minInverseTableSize less than default; value ignored")
             cfg = replace(cfg, min_inverse_table_size=DEFAULT_MIN_INVERSE_TABLE_SIZE)
+        if cfg.use_ratio_tracking_for_intensity and cfg.majorant_block_size <= 0:
+            s.warnings.append("ratio tracking needs majorant_block_size > 0; "
+                              "falling back to the deterministic trace")
+            cfg = replace(cfg, use_ratio_tracking_for_intensity=False)
         s.fail_if(cfg.russian_roulette_w <= 0.0, "russian_roulette_w must be positive")
         s.fail_if(cfg.max_events < 1, "max_events must be at least 1")
         s.check("IntegratorConfig")

@@ -271,7 +271,7 @@ def make_batch_tracer(geom: GridGeometry, optics: DeviceOptics, tables: DeviceTa
     # Zero-albedo Lambertian surface: photons hitting the bottom always die,
     # so the per-event reflection math compiles away (see event_step).
     black_surface = (not surface.uses_brdf) and float(surface.albedo) == 0.0
-    if use_woodcock:
+    if coarse_geom is not None:
         max_block_crossings = max(64, 4 * (coarse_geom.n_x + coarse_geom.n_y
                                            + coarse_geom.n_z))
     comp_offsets = jnp.arange(n_comp, dtype=jnp.int32)
@@ -325,6 +325,65 @@ def make_batch_tracer(geom: GridGeometry, optics: DeviceOptics, tables: DeviceTa
         params = surface.params[ixs * surface.n_ys + iys]
         return surface.brdf_fn(params, mu_in, mu_out, phi_in, phi_out)
 
+    def ratio_transmittance(opt, key, live0, px, py, pz, dx, dy, dz):
+        """Unbiased transmittance to the boundary by ratio tracking.
+
+        Tentative collisions are sampled against the super-voxel majorants
+        (the same coarse DDA as Woodcock transport); each multiplies the
+        running transmittance by (1 - ext/majorant).  Roulette at zeta_min
+        keeps the expected round count ~ the majorant optical depth.  Returns
+        (T, exit_fix, exit_fiy, escaped) over the flat lane-direction axis.
+        No reference analog: the reference always integrates tau cell by cell
+        (monteCarloRadiativeTransfer.f95:1512-1535); E[T] equals its
+        exp(-tau) exactly.
+        """
+        n = px.shape[0]
+        zeros_i = jnp.zeros(n, jnp.int32)
+        state = (live0, jnp.where(live0, 1.0, 0.0).astype(jnp.float32),
+                 px, py, pz, zeros_i, zeros_i, jnp.zeros(n, bool),
+                 jnp.int32(0))
+
+        def cond(s):
+            return jnp.any(s[0]) & (s[-1] < max_int_crossings)
+
+        def body(s):
+            live, T, px, py, pz, fix_o, fiy_o, esc_o, it = s
+            u_free, u_kill = jax.random.uniform(
+                jax.random.fold_in(key, it), (2, n), dtype=jnp.float32)
+            tau_t = exponential_deviate(u_free)
+            (rx, ry, rz, fbx, fby, fbz, _ta, status) = trace_extinction(
+                coarse_geom, opt.block_majorant, px, py, pz,
+                coarse_geom.locate_x(px), coarse_geom.locate_y(py),
+                coarse_geom.locate_z(pz),
+                dx, dy, dz, tau_t, live, max_block_crossings,
+                cell_matrix=opt.block_majorant[:, None])
+            exited = live & ((status == EXIT_TOP) | (status == EXIT_BOT))
+            esc_o = esc_o | exited
+            fix_o = jnp.where(exited, geom.locate_x(rx), fix_o)
+            fiy_o = jnp.where(exited, geom.locate_y(ry), fiy_o)
+            collided = live & (status == SCATTER)
+            flat_cell = ((geom.locate_x(rx) * n_y + geom.locate_y(ry)) * n_z
+                         + geom.locate_z(rz))
+            cell_ext = read_rows(opt.cell_matrix[:, :1], flat_cell)[:, 0]
+            block_flat = (fbx * coarse_geom.n_y + fby) * coarse_geom.n_z + fbz
+            maj = read_rows(opt.block_majorant[:, None], block_flat)[:, 0]
+            ratio = jnp.clip(1.0 - cell_ext / jnp.maximum(maj, 1e-30), 0.0, 1.0)
+            T = jnp.where(collided, T * ratio, T)
+            # Roulette on the running transmittance: unbiased, bounds rounds.
+            zeta = jnp.float32(max(config.zeta_min, 1e-3))
+            rr = collided & (T < zeta)
+            killed = rr & (u_kill >= T / zeta)
+            T = jnp.where(rr, jnp.where(killed, 0.0, zeta), T)
+            live = collided & (T > 0.0)
+            px = jnp.where(live, rx, px)
+            py = jnp.where(live, ry, py)
+            pz = jnp.where(live, rz, pz)
+            return (live, T, px, py, pz, fix_o, fiy_o, esc_o, it + 1)
+
+        (_, T, _, _, _, fix_o, fiy_o, esc_o, _) = jax.lax.while_loop(
+            cond, body, state)
+        return T, fix_o, fiy_o, esc_o
+
     def intensity_contribution(opt, key, mask, is_surface, x, y, z, ix, iy, iz,
                                ux, uy, uz, weight, comp, pf_idx, order, tallies):
         """Local estimation toward each detector direction.
@@ -366,42 +425,57 @@ def make_batch_tracer(geom: GridGeometry, optics: DeviceOptics, tables: DeviceTa
             return jnp.broadcast_to(a[None, :], (L, D)).reshape(L * D)
 
         mask_ld = tile_l(mask)
-        if config.use_russian_roulette_for_intensity:
-            u_free, u_accept = (jax.random.uniform(k, (L, D), dtype=jnp.float32)
-                                for k in jax.random.split(key, 2))
-            tau_free = exponential_deviate(u_free)
-            small = PI * norm_pf <= config.zeta_min
-            tau_max = -jnp.log(config.zeta_min
-                               / jnp.maximum(PI * norm_pf, TINY))
-            target = jnp.where(small, tau_free, tau_max + tau_free).reshape(L * D)
+        dxs, dys, dzs = tile_d(dirs[0]), tile_d(dirs[1]), tile_d(dirs[2])
+        if config.use_ratio_tracking_for_intensity and coarse_geom is not None:
+            # Ratio tracking (null-collision transmittance estimator): free
+            # paths against the super-voxel majorants, multiplying the running
+            # transmittance by (1 - ext/majorant) at each tentative collision.
+            # Unbiased for E[T] = exp(-tau); expected rounds ~ majorant
+            # optical depth along the ray instead of O(cells crossed), with
+            # roulette at zeta_min bounding deep (tiny-T) paths.
+            T_hat, fix, fiy, escaped_f = ratio_transmittance(
+                opt, key, mask_ld, tile_l(x), tile_l(y), tile_l(z),
+                dxs, dys, dzs)
+            escaped = escaped_f.reshape(L, D)
+            contrib = jnp.where(escaped, weight[:, None] * norm_pf
+                                * T_hat.reshape(L, D), 0.0)
         else:
-            target = jnp.full((L * D,), 3.0e38, dtype=jnp.float32)
+            if config.use_russian_roulette_for_intensity:
+                u_free, u_accept = (jax.random.uniform(k, (L, D), dtype=jnp.float32)
+                                    for k in jax.random.split(key, 2))
+                tau_free = exponential_deviate(u_free)
+                small = PI * norm_pf <= config.zeta_min
+                tau_max = -jnp.log(config.zeta_min
+                                   / jnp.maximum(PI * norm_pf, TINY))
+                target = jnp.where(small, tau_free, tau_max + tau_free).reshape(L * D)
+            else:
+                target = jnp.full((L * D,), 3.0e38, dtype=jnp.float32)
 
-        (fx, fy, fz, fix, fiy, fiz, tau, status) = trace_extinction(
-            geom, opt.total_ext,
-            tile_l(x), tile_l(y), tile_l(z),
-            tile_l(ix), tile_l(iy), tile_l(iz),
-            tile_d(dirs[0]), tile_d(dirs[1]), tile_d(dirs[2]),
-            target, mask_ld, max_int_crossings,
-            cell_matrix=opt.cell_matrix if optics.use_onehot else None)
-        del fx, fy, fz, fiz
-        escaped = (status == tile_d(intensity.exit_status)).reshape(L, D)
-        tau = tau.reshape(L, D)
+            (fx, fy, fz, fix, fiy, fiz, tau, status) = trace_extinction(
+                geom, opt.total_ext,
+                tile_l(x), tile_l(y), tile_l(z),
+                tile_l(ix), tile_l(iy), tile_l(iz),
+                dxs, dys, dzs,
+                target, mask_ld, max_int_crossings,
+                cell_matrix=opt.cell_matrix if optics.use_onehot else None)
+            del fx, fy, fz, fiz
+            escaped = (status == tile_d(intensity.exit_status)).reshape(L, D)
+            tau = tau.reshape(L, D)
 
-        if config.use_russian_roulette_for_intensity:
-            # Iwabuchi Eq 13 (small contributions) and Eq 14 (roulette on
-            # large optical depths), fused into one trace (:1536-1596).
-            contrib_small = jnp.where(
-                escaped & (u_accept <= PI * norm_pf / config.zeta_min),
-                weight[:, None] * config.zeta_min / PI, 0.0)
-            contrib_large = jnp.where(
-                escaped & (tau <= tau_max),
-                weight[:, None] * norm_pf * jnp.exp(-tau),
-                jnp.where(escaped, weight[:, None] * config.zeta_min / PI, 0.0))
-            contrib = jnp.where(small, contrib_small, contrib_large)
-        else:
-            # Full transmission exp(-tau) to the boundary (:1512-1535).
-            contrib = jnp.where(escaped, weight[:, None] * norm_pf * jnp.exp(-tau), 0.0)
+            if config.use_russian_roulette_for_intensity:
+                # Iwabuchi Eq 13 (small contributions) and Eq 14 (roulette on
+                # large optical depths), fused into one trace (:1536-1596).
+                contrib_small = jnp.where(
+                    escaped & (u_accept <= PI * norm_pf / config.zeta_min),
+                    weight[:, None] * config.zeta_min / PI, 0.0)
+                contrib_large = jnp.where(
+                    escaped & (tau <= tau_max),
+                    weight[:, None] * norm_pf * jnp.exp(-tau),
+                    jnp.where(escaped, weight[:, None] * config.zeta_min / PI, 0.0))
+                contrib = jnp.where(small, contrib_small, contrib_large)
+            else:
+                # Full transmission exp(-tau) to the boundary (:1512-1535).
+                contrib = jnp.where(escaped, weight[:, None] * norm_pf * jnp.exp(-tau), 0.0)
         contrib = jnp.where(mask[:, None], contrib, 0.0)
 
         comp_slot = jnp.where(is_surface, 0, comp + 1)  # component 0 = surface

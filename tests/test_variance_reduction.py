@@ -51,6 +51,42 @@ def test_iwabuchi_rr_unbiased(plain_radiance):
     np.testing.assert_allclose(rad, plain_radiance, rtol=0.06)
 
 
+def test_ratio_tracking_unbiased():
+    """Null-collision transmittance estimator agrees with the exact trace.
+
+    Compared batch-wise with a 3-sigma band: in a uniform slab the majorant
+    equals the extinction, so ratio tracking degenerates to the analog
+    (Bernoulli) transmittance — unbiased but with more variance than the
+    deterministic exp(-tau), hence the statistical comparison.
+    """
+    from i3rc_tpu.parallel.mesh import run_batches
+
+    src = PhotonSource.directional(0.6, 0.0)
+    stats = {}
+    for tag, cfg in (("plain", IntegratorConfig()),
+                     ("ratio", IntegratorConfig(
+                         use_ratio_tracking_for_intensity=True,
+                         use_ray_tracing=False, majorant_block_size=1))):
+        integ = Integrator.create(slab(1.0), config=cfg,
+                                  intensity_mus=MUS, intensity_phis=PHIS)
+        stats[tag] = run_batches(integ, src, 20_000, 16, seed=9,
+                                 derive=lambda r: {"I": r.mean_intensity})
+    m_p = np.asarray(stats["plain"].mean["derived"]["I"])
+    m_r = np.asarray(stats["ratio"].mean["derived"]["I"])
+    sig = (np.asarray(stats["plain"].stderr["derived"]["I"])
+           + np.asarray(stats["ratio"].stderr["derived"]["I"]))
+    assert np.all(np.abs(m_p - m_r) < 3.0 * sig + 1e-4 * m_p)
+
+
+def test_ratio_tracking_requires_majorants():
+    """Config downgrade: ratio tracking without super-voxels falls back."""
+    cfg = IntegratorConfig(use_ratio_tracking_for_intensity=True,
+                           majorant_block_size=0)
+    with pytest.warns(Warning):
+        cfg = cfg.validate()
+    assert cfg.use_ratio_tracking_for_intensity is False
+
+
 def test_hybrid_phase_functions(plain_radiance):
     """Hybrid Gaussian-peak local estimation stays close to the original."""
     integ = Integrator.create(
