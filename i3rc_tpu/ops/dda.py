@@ -152,9 +152,19 @@ def trace_extinction(geom: GridGeometry, total_ext_flat: jax.Array,
         x, y, z, ix, iy, iz, tau, status, it = state
         tracing = active & (status == TRACING)
 
-        ex = geom.x_edges[jnp.clip(ix + side_x, 0, geom.n_x)]
-        ey = geom.y_edges[jnp.clip(iy + side_y, 0, geom.n_y)]
-        ez = geom.z_edges[jnp.clip(iz + side_z, 0, geom.n_z)]
+        # Next-face coordinates: arithmetic for regular grids (consistent
+        # with locate_*'s floor division and gather-free), edge-array gather
+        # only for irregular spacing.
+        if geom.xy_regular:
+            ex = geom.x0 + (ix + side_x).astype(jnp.float32) * geom.dx
+            ey = geom.y0 + (iy + side_y).astype(jnp.float32) * geom.dy
+        else:
+            ex = geom.x_edges[jnp.clip(ix + side_x, 0, geom.n_x)]
+            ey = geom.y_edges[jnp.clip(iy + side_y, 0, geom.n_y)]
+        if geom.z_regular:
+            ez = geom.z0 + (iz + side_z).astype(jnp.float32) * geom.dz
+        else:
+            ez = geom.z_edges[jnp.clip(iz + side_z, 0, geom.n_z)]
         # Distance to next face per axis; huge where the ray is parallel.
         sx = jnp.where(jnp.abs(ux) >= 2e-30, (ex - x) * inv_ux, _HUGE)
         sy = jnp.where(jnp.abs(uy) >= 2e-30, (ey - y) * inv_uy, _HUGE)
