@@ -61,8 +61,12 @@ def run_from_namelist(namelist_path: str, quiet: bool = False) -> dict:
     zeta_min = float(_get(g, "algorithms", "zetamin", 0.3))
     limit_intensity = bool(_get(g, "algorithms", "limitintensitycontributions", False))
     max_intensity = float(_get(g, "algorithms", "maxintensitycontribution", 77.0))
-    # TPU-native extension: super-voxel majorant size (0 = reference behavior)
-    majorant_block_size = int(_get(g, "algorithms", "majorantblocksize", 0))
+    # TPU-native extension: super-voxel majorant size.  Defaults ON (16):
+    # unbiased (identical expectations, different event sequence) and ~10x
+    # faster than the reference's single global maximum cross-section on
+    # heterogeneous clouds.  Set majorantBlockSize = 0 for the reference's
+    # exact algorithm.
+    majorant_block_size = int(_get(g, "algorithms", "majorantblocksize", 16))
 
     report_volume = bool(_get(g, "output", "reportvolumeabsorption", False))
     report_profile = bool(_get(g, "output", "reportabsorptionprofile", False))
@@ -120,7 +124,11 @@ def run_from_namelist(namelist_path: str, quiet: bool = False) -> dict:
             out["mean_intensity"] = res.mean_intensity
         return out
 
+    # chunk_batches bounds single-dispatch runtime: remote-attached TPU
+    # runtimes kill device executions that run for many minutes, which a
+    # 16-batch fused scan of a radiance configuration can reach.
     stats = run_batches(integ, source, n_photons, n_batches, seed=iseed,
+                        chunk_batches=2,
                         mesh=mesh, derive=derive).scaled(solar_flux)
     n_batches = stats.n_batches
     t_total = time.perf_counter() - t0

@@ -77,6 +77,7 @@ def run_batches(integrator, source, n_photons_per_batch: int, n_batches: int,
                 seed: int = 10, mesh: Mesh | None = None, derive=None,
                 n_lanes: int | None = None, optics_override=None,
                 batch_offset: int = 0, rng_impl: str | None = None,
+                chunk_batches: int | None = None,
                 _return_sums: bool = False) -> BatchStats:
     """Run independent photon batches across the mesh and reduce moments.
 
@@ -88,12 +89,35 @@ def run_batches(integrator, source, n_photons_per_batch: int, n_batches: int,
     error across batches is not derivable from per-pixel moments — the
     reference accumulates them separately, monteCarloDriver.f95:300-305).
     The returned stats trees are then dicts {"results":..., "derived":...}.
+
+    ``chunk_batches`` bounds how many batches each DEVICE runs per XLA
+    dispatch: moments are summed across dispatches on the host (identical
+    floating-point result to one fused scan).  Long single dispatches are
+    fragile on remote-attached accelerators, so drivers chunk by default.
     """
     mesh = mesh or default_mesh()
     n_dev = mesh.devices.size
-    n_batches = max(int(n_batches), 2)
-    per_dev = -(-n_batches // n_dev)      # round up to divide evenly (:268-271)
+    if not _return_sums:
+        n_batches = max(int(n_batches), 2)
+    per_dev = -(-int(n_batches) // n_dev)  # round up to divide evenly (:268-271)
     n_batches = per_dev * n_dev
+    if chunk_batches and per_dev > chunk_batches:
+        s1 = s2 = None
+        done = 0
+        while done < n_batches:
+            take = min(int(chunk_batches) * n_dev, n_batches - done)
+            c1, c2, _ = run_batches(
+                integrator, source, n_photons_per_batch, take, seed=seed,
+                mesh=mesh, derive=derive, n_lanes=n_lanes,
+                optics_override=optics_override,
+                batch_offset=batch_offset + done, rng_impl=rng_impl,
+                _return_sums=True)
+            s1 = c1 if s1 is None else jax.tree.map(lambda a, b: a + b, s1, c1)
+            s2 = c2 if s2 is None else jax.tree.map(lambda a, b: a + b, s2, c2)
+            done += take
+        if _return_sums:
+            return s1, s2, n_batches
+        return stats_from_sums(s1, s2, n_batches)
 
     compiled = integrator.batch_fn(source, n_photons_per_batch, n_lanes=n_lanes)
 
