@@ -74,6 +74,13 @@ class IntegratorConfig:
     max_events: int = 1000          # scattering orders per photon
     max_crossings: int = 0          # 0 -> auto: 8 * (nx + ny + nz)
     max_intensity_crossings: int = 0
+    # Fused elementwise fastpath (integrators/fastpath.py): auto-selected for
+    # eligible workloads (conservative single-HG-component separable optics,
+    # black surface, flux-only, non-ray-tracing); identical expectations,
+    # different RNG event stream.  fastpath_unroll = events per tally/refill
+    # block (the deferred-tally period K).
+    use_fastpath: bool = True
+    fastpath_unroll: int = 8
 
     def validate(self) -> "IntegratorConfig":
         """Range checks with the reference's warning-downgrade semantics."""

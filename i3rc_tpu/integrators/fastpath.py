@@ -1,0 +1,441 @@
+"""Fused elementwise transport fastpath (flux, conservative, separable optics).
+
+Motivation (measured on TPU v5e, see PERF_NOTES.md): the general wavefront
+kernel (integrators/wavefront.py) spends most of each event iteration on
+one-hot matmul table reads, the one-hot tally, and the refill cumsum — MXU
+and reduction work whose cost per lane-event bounded round 1 at ~27M
+photons/s.  This module specializes benchmark-shaped workloads to a *purely
+elementwise* event step that XLA fuses into a handful of kernels per K-event
+block:
+
+  * Free paths by null-collision (Woodcock) tracking over a coarse majorant
+    grid, flattened to ONE block-crossing-or-tentative-collision per event —
+    no inner DDA while_loop, so the whole step is branch-free vector code.
+    With a single global block this degenerates to the reference's maximum
+    cross-section method (monteCarloRadiativeTransfer.f95:492-497).
+  * Extinction reads become closed-form piecewise-constant lookups: the
+    domain's total extinction is auto-factorized as a separable rank-1 field
+    ext(x,y,z) = fx(x) * fy(y) * fz(z) whose 1-D factors are few-segment step
+    functions evaluated by a where-chain (exact — bit-checked host-side — for
+    the I3RC step cloud and any separable medium).  No gather, no one-hot.
+  * Henyey-Greenstein phase functions are inverted analytically
+    (mu = (1+g^2 - ((1-g^2)/(1+g(2u-1)))^2) / 2g) instead of through the
+    tabulated piecewise-cubic inverse CDF (detected from Legendre moments
+    xi_l = g^l; the general path samples the same distribution through a
+    256-segment cubic fit of the truncated expansion).
+  * Tallies and lane refill are DEFERRED: a conservative photon over a black
+    surface has weight exactly 1 and tallies exactly once (at its exit), so
+    deaths pend in per-lane registers (exit kind + column) and flush every K
+    events — one small one-hot tally matmul and one refill cumsum per
+    K-event block instead of per event.
+
+Eligibility is checked host-side (``fast_plan``); ineligible configurations
+fall back to the general kernel unchanged.  Expectations are identical to
+the general kernel (same physics, same estimators); RNG event streams
+differ, so agreement is statistical — covered by tests/test_fastpath.py.
+
+Reference analog: the photonLoop/scatteringLoop pair,
+Integrators/monteCarloRadiativeTransfer.f95:400-707.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from i3rc_tpu.core.rng import TINY, exponential_deviate
+from i3rc_tpu.integrators.wavefront import (
+    RawTallies,
+    make_direction_cosines,
+    rotate_direction,
+)
+from i3rc_tpu.ops.tally import tally_multi
+
+_HUGE = jnp.float32(3.0e38)
+
+# Most segments per 1-D factor before the where-chain lookup stops paying.
+MAX_SEGMENTS = 24
+
+
+# ---------------------------------------------------------------------------
+# Host-side plan construction
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class StepFactor:
+    """Piecewise-constant 1-D function of position: values[i] applies on
+    [thresholds[i-1], thresholds[i]) with implicit end thresholds."""
+
+    thresholds: tuple[float, ...]  # ascending interior breakpoints
+    values: tuple[float, ...]      # len(thresholds) + 1
+
+    def __call__(self, pos):
+        v = jnp.full_like(pos, jnp.float32(self.values[0]))
+        for t, val in zip(self.thresholds, self.values[1:]):
+            v = jnp.where(pos >= jnp.float32(t), jnp.float32(val), v)
+        return v
+
+    @property
+    def n_ops(self) -> int:
+        return len(self.thresholds)
+
+
+def _compress_factor(values: np.ndarray, edges: np.ndarray) -> StepFactor | None:
+    """Run-length compress per-cell values into a StepFactor over position."""
+    values = np.asarray(values, dtype=np.float64)
+    change = np.flatnonzero(np.diff(values)) + 1
+    if change.size > MAX_SEGMENTS:
+        return None
+    return StepFactor(tuple(float(edges[i]) for i in change),
+                      tuple([float(values[0])] + [float(values[i]) for i in change]))
+
+
+def separable_factors(ext: np.ndarray, x_edges, y_edges, z_edges):
+    """Exact rank-1 factorization ext = fx ⊗ fy ⊗ fz, or None.
+
+    Chooses the max-extinction cell as pivot and verifies the outer product
+    reproduces the field to float32 accuracy.  Zero fields factorize
+    trivially.  Returns (StepFactor, StepFactor, StepFactor).
+    """
+    ext = np.asarray(ext, dtype=np.float64)
+    if ext.ndim != 3:
+        return None
+    if not np.any(ext):
+        zero = StepFactor((), (0.0,))
+        return zero, StepFactor((), (1.0,)), StepFactor((), (1.0,))
+    i0, j0, k0 = np.unravel_index(np.argmax(ext), ext.shape)
+    pivot = ext[i0, j0, k0]
+    vx = ext[:, j0, k0] / pivot
+    vy = ext[i0, :, k0] / pivot
+    vz = ext[i0, j0, :]
+    recon = vx[:, None, None] * vy[None, :, None] * vz[None, None, :]
+    if not np.allclose(recon, ext, rtol=1e-6, atol=1e-9 * pivot):
+        return None
+    fx = _compress_factor(vx, np.asarray(x_edges, float))
+    fy = _compress_factor(vy, np.asarray(y_edges, float))
+    fz = _compress_factor(vz, np.asarray(z_edges, float))
+    if fx is None or fy is None or fz is None:
+        return None
+    return fx, fy, fz
+
+
+def _blockwise_max(v: np.ndarray, block: int) -> np.ndarray:
+    n = v.size
+    b = min(block, n)
+    while n % b:
+        b -= 1
+    return v.reshape(n // b, b).max(axis=1), b
+
+
+def detect_hg(table) -> float | None:
+    """Asymmetry parameter when the (single-entry) table is pure HG.
+
+    HG Legendre moments are xi_l = g^l (core/phase_functions.py:49-51); any
+    table built that way — planeParallel's HG branch, the I3RC step cloud —
+    is detected exactly.  Tabulated or multi-entry tables return None.
+    """
+    if len(table.phase_functions) != 1:
+        return None
+    pf = table.phase_functions[0]
+    c = pf.legendre_coefficients
+    if c is None or c.size < 2:
+        return None
+    g = float(c[0])
+    if abs(g) >= 1.0:
+        return None
+    expect = g ** np.arange(1, c.size + 1)
+    if not np.allclose(np.asarray(c, float), expect, rtol=1e-6, atol=1e-12):
+        return None
+    return g
+
+
+@dataclass(frozen=True)
+class FastPlan:
+    """Static (host-side) description of one fastpath compilation."""
+
+    fx: StepFactor
+    fy: StepFactor
+    fz: StepFactor
+    mx: StepFactor            # coarse majorant factors (position space)
+    my: StepFactor
+    mz: StepFactor
+    cdx: float                # coarse block widths (for face arithmetic)
+    cdy: float
+    cdz: float
+    ncx: int
+    ncy: int
+    ncz: int
+    hg_g: float
+    unroll: int
+
+
+def fast_plan(geom, flat, optics, surface, intensity, config) -> FastPlan | None:
+    """Eligibility check + plan for the fused elementwise kernel.
+
+    Requirements (everything else uses the general wavefront kernel):
+    conservative single-component optics with one HG phase function, black
+    Lambertian surface, flux-only outputs, non-ray-tracing transport,
+    regular grid, separable few-segment extinction.
+    """
+    if not getattr(config, "use_fastpath", True):
+        return None
+    if config.use_ray_tracing or intensity is not None:
+        return None
+    if config.compute_volume_absorption:
+        return None
+    if surface.uses_brdf or float(surface.albedo) != 0.0:
+        return None
+    if optics.n_components != 1 or optics.uniform_ssa != 1.0:
+        return None
+    if optics.uniform_phase_index is None:
+        return None
+    if not (geom.xy_regular and geom.z_regular):
+        return None
+    g = detect_hg(flat.forward_tables[0])
+    if g is None or g == 0.0:
+        return None
+    factors = separable_factors(flat.total_ext, np.asarray(geom.x_edges),
+                                np.asarray(geom.y_edges), np.asarray(geom.z_edges))
+    if factors is None:
+        return None
+    fx, fy, fz = factors
+
+    # Coarse majorant grid: blockwise maxima of each (non-negative) factor.
+    # max over a block of fx*fy*fz == (max fx)(max fy)(max fz) for separable
+    # non-negative fields, so the super-voxel majorant is itself separable.
+    blk = int(config.majorant_block_size)
+
+    def axis_majorant(factor_vals: np.ndarray, edges: np.ndarray, n: int):
+        global_sf = (StepFactor((), (float(factor_vals.max()),)), 1,
+                     float(edges[-1] - edges[0]))
+        if blk <= 0:
+            return global_sf
+        m, b = _blockwise_max(factor_vals, blk)
+        nblk = n // b
+        sf = _compress_factor(m, np.asarray([edges[b * i] for i in range(nblk + 1)]))
+        if sf is None:  # too many distinct blocks for a where-chain
+            return global_sf
+        return sf, nblk, float(edges[b] - edges[0])
+
+    ext = np.asarray(flat.total_ext, float)
+    i0, j0, k0 = np.unravel_index(np.argmax(ext), ext.shape)
+    pivot = ext[i0, j0, k0]
+    vx = ext[:, j0, k0] / pivot if pivot > 0 else np.zeros(ext.shape[0])
+    vy = ext[i0, :, k0] / pivot if pivot > 0 else np.ones(ext.shape[1])
+    vz = ext[i0, j0, :] if pivot > 0 else np.zeros(ext.shape[2])
+    xe, ye, ze = (np.asarray(geom.x_edges, float), np.asarray(geom.y_edges, float),
+                  np.asarray(geom.z_edges, float))
+    mx, ncx, cdx = axis_majorant(vx, xe, geom.n_x)
+    my, ncy, cdy = axis_majorant(vy, ye, geom.n_y)
+    mz, ncz, cdz = axis_majorant(vz, ze, geom.n_z)
+
+    return FastPlan(fx=fx, fy=fy, fz=fz, mx=mx, my=my, mz=mz,
+                    cdx=cdx, cdy=cdy, cdz=cdz, ncx=ncx, ncy=ncy, ncz=ncz,
+                    hg_g=g, unroll=int(getattr(config, "fastpath_unroll", 8)))
+
+
+# ---------------------------------------------------------------------------
+# Device kernel
+# ---------------------------------------------------------------------------
+
+def hg_cosine(g: float, u):
+    """Exact HG inverse CDF: the closed form of sampleHG (g != 0)."""
+    g = jnp.float32(g)
+    frac = (1.0 - g * g) / (1.0 + g * (2.0 * u - 1.0))
+    return jnp.clip((1.0 + g * g - frac * frac) / (2.0 * g), -1.0, 1.0)
+
+
+def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
+                     n_lanes: int | None = None):
+    """Build trace(key, batch, source) -> RawTallies for the fast plan."""
+    n_x, n_y, n_z = geom.n_x, geom.n_y, geom.n_z
+    L = int(n_lanes or min(n_photons, 1 << 20))
+    K = max(1, plan.unroll)
+    x0, y0, z0 = geom.x0, geom.y0, geom.z0
+    x_max, y_max, z_max = geom.x_max, geom.y_max, geom.z_max
+    inv_dx = 1.0 / geom.dx
+    inv_dy = 1.0 / geom.dy
+    inv_cdx, inv_cdy, inv_cdz = 1.0 / plan.cdx, 1.0 / plan.cdy, 1.0 / plan.cdz
+    # Face-push nudges: ~8 float32 ulps of the coordinate scale per axis —
+    # enough that floor() relocates into the next block, small enough that
+    # the extra path length (< 1e-5 of a block) is statistically invisible.
+    nudge_x = jnp.float32(8 * 2.0 ** -23 * max(abs(x0), abs(x_max)))
+    nudge_y = jnp.float32(8 * 2.0 ** -23 * max(abs(y0), abs(y_max)))
+    nudge_z = jnp.float32(8 * 2.0 ** -23 * max(abs(z0), abs(z_max)))
+    max_events = config.max_events
+    # Global hang guard (counts K-event blocks): fastpath events include
+    # block crossings and null collisions, so allow ~2x the general budget.
+    max_blocks = -(-2 * max_events * (n_photons // L + 2) // K)
+    n_cols = n_x * n_y
+
+    fx, fy, fz = plan.fx, plan.fy, plan.fz
+    mx, my, mz = plan.mx, plan.my, plan.mz
+
+    def wrap_x(x):
+        w = x_max - x0
+        out = x0 + jnp.mod(x - x0, w)
+        return jnp.where(out >= x_max, x0, out)
+
+    def wrap_y(y):
+        w = y_max - y0
+        out = y0 + jnp.mod(y - y0, w)
+        return jnp.where(out >= y_max, y0, out)
+
+    def exit_column(x, y, ux, uy, sz):
+        """Tally column where the ray crosses the domain's z boundary."""
+        xe = wrap_x(x + ux * sz)
+        ye = wrap_y(y + uy * sz)
+        ix = jnp.clip((((xe - x0) * inv_dx)).astype(jnp.int32), 0, n_x - 1)
+        iy = jnp.clip((((ye - y0) * inv_dy)).astype(jnp.int32), 0, n_y - 1)
+        return ix * n_y + iy
+
+    def fast_event(ek, st):
+        (alive, x, y, z, ux, uy, uz, tau_rem, orders, pk, pc,
+         n_bad, n_lane_events) = st
+        u = jax.random.uniform(ek, (4, L), dtype=jnp.float32)
+        tau_rem = jnp.where(tau_rem > 0.0, tau_rem, exponential_deviate(u[0]))
+
+        # Local majorant + distance to the coarse block face (arithmetic on
+        # the regular coarse grid; one "event" = one crossing OR collision).
+        maj = mx(x) * my(y) * mz(z)
+        up_x = (ux >= 0.0).astype(jnp.float32)
+        up_y = (uy >= 0.0).astype(jnp.float32)
+        up_z = (uz >= 0.0).astype(jnp.float32)
+        if plan.ncx > 1:
+            bx = jnp.clip(jnp.floor((x - x0) * inv_cdx), 0, plan.ncx - 1)
+            face_x = x0 + (bx + up_x) * plan.cdx
+        else:
+            face_x = jnp.where(ux >= 0.0, jnp.float32(x_max), jnp.float32(x0))
+        if plan.ncy > 1:
+            by = jnp.clip(jnp.floor((y - y0) * inv_cdy), 0, plan.ncy - 1)
+            face_y = y0 + (by + up_y) * plan.cdy
+        else:
+            face_y = jnp.where(uy >= 0.0, jnp.float32(y_max), jnp.float32(y0))
+        if plan.ncz > 1:
+            bz = jnp.clip(jnp.floor((z - z0) * inv_cdz), 0, plan.ncz - 1)
+            face_z = z0 + (bz + up_z) * plan.cdz
+        else:
+            face_z = jnp.where(uz >= 0.0, jnp.float32(z_max), jnp.float32(z0))
+        sx = jnp.where(jnp.abs(ux) >= 2e-30, (face_x - x) / ux, _HUGE)
+        sy = jnp.where(jnp.abs(uy) >= 2e-30, (face_y - y) / uy, _HUGE)
+        sz = jnp.where(jnp.abs(uz) >= 2e-30, (face_z - z) / uz, _HUGE)
+        s_bnd = jnp.maximum(jnp.minimum(jnp.minimum(sx, sy), sz), 0.0)
+        s_col = jnp.where(maj > 0.0, tau_rem / jnp.maximum(maj, TINY), _HUGE)
+
+        collide = alive & (s_col <= s_bnd)
+        cross = alive & ~collide
+        adv = jnp.minimum(s_col, s_bnd)
+        nxp = x + ux * adv
+        nyp = y + uy * adv
+        nzp = z + uz * adv
+        # Push the crossed coordinate(s) strictly past the face so the next
+        # floor() lands in the new block (ties push several axes: harmless).
+        crossed_x = cross & (sx <= s_bnd)
+        crossed_y = cross & (sy <= s_bnd)
+        crossed_z = cross & (sz <= s_bnd)
+        nxp = jnp.where(crossed_x, face_x + (2.0 * up_x - 1.0) * nudge_x, nxp)
+        nyp = jnp.where(crossed_y, face_y + (2.0 * up_y - 1.0) * nudge_y, nyp)
+        nzp = jnp.where(crossed_z, face_z + (2.0 * up_z - 1.0) * nudge_z, nzp)
+
+        exit_top = cross & (nzp >= z_max)
+        exit_bot = cross & ~exit_top & (nzp <= z0)
+        exited = exit_top | exit_bot
+        col = exit_column(x, y, ux, uy, sz)
+        pk = jnp.where(exit_top, 1, jnp.where(exit_bot, 2, pk))
+        pc = jnp.where(exited, col, pc)
+
+        # Tentative collision: accept physical with probability ext / maj.
+        ext = fx(nxp) * fy(nyp) * fz(nzp)
+        physical = collide & (u[1] * maj < ext)
+        cos_scat = hg_cosine(plan.hg_g, u[2])
+        nux, nuy, nuz = rotate_direction(ux, uy, uz, cos_scat, u[3])
+
+        orders = orders + physical.astype(jnp.int32)
+        over = alive & (orders >= max_events)
+        n_bad = n_bad + jnp.sum(over).astype(jnp.int32)
+        n_lane_events = n_lane_events + jnp.sum(alive.astype(jnp.float32))
+
+        alive = alive & ~exited & ~over
+        x = jnp.where(alive, wrap_x(nxp), x)
+        y = jnp.where(alive, wrap_y(nyp), y)
+        z = jnp.where(alive, nzp, z)
+        ux = jnp.where(physical, nux, ux)
+        uy = jnp.where(physical, nuy, uy)
+        uz = jnp.where(physical, nuz, uz)
+        tau_rem = jnp.where(collide, 0.0, tau_rem - s_bnd * maj)
+        return (alive, x, y, z, ux, uy, uz, tau_rem, orders, pk, pc,
+                n_bad, n_lane_events)
+
+    def flush(columns, pk, pc):
+        vals = jnp.stack([(pk == 1).astype(jnp.float32),
+                          (pk == 2).astype(jnp.float32)], axis=1)
+        return tally_multi(columns, pc, vals), jnp.zeros_like(pk)
+
+    def trace(key, batch, source=None, optics_override=None):
+        assert optics_override is None, "fastpath bakes optics statically"
+        x = x0 + batch.x * (x_max - x0)
+        y = y0 + batch.y * (y_max - y0)
+        z = z0 + batch.z * (z_max - z0)
+        ux, uy, uz = make_direction_cosines(batch.mu, batch.phi)
+        lane_ids = jnp.arange(L, dtype=jnp.int32)
+        alive = lane_ids < n_photons
+        launched = jnp.int32(min(L, n_photons))
+        zeros_i = jnp.zeros(L, jnp.int32)
+        columns = jnp.zeros((n_cols, 2), jnp.float32)
+
+        def body(carry):
+            kb, launched, st, columns = carry
+            (alive, x, y, z, ux, uy, uz, tau_rem, orders, pk, pc,
+             n_bad, n_lane_events) = st
+            # Flush last block's deaths, then refill those lanes (FIFO).
+            columns, pk = flush(columns, pk, pc)
+            if n_photons > L:
+                dead = ~alive
+                dead_i = dead.astype(jnp.int32)
+                new_id = launched + jnp.cumsum(dead_i) - dead_i
+                refill = dead & (new_id < n_photons)
+                fresh = source.sample(jax.random.fold_in(key, -kb - 1), L)
+                x = jnp.where(refill, x0 + fresh.x * (x_max - x0), x)
+                y = jnp.where(refill, y0 + fresh.y * (y_max - y0), y)
+                z = jnp.where(refill, z0 + fresh.z * (z_max - z0), z)
+                fux, fuy, fuz = make_direction_cosines(fresh.mu, fresh.phi)
+                ux = jnp.where(refill, fux, ux)
+                uy = jnp.where(refill, fuy, uy)
+                uz = jnp.where(refill, fuz, uz)
+                tau_rem = jnp.where(refill, 0.0, tau_rem)
+                orders = jnp.where(refill, 0, orders)
+                launched = launched + jnp.sum(refill.astype(jnp.int32))
+                alive = alive | refill
+            st = (alive, x, y, z, ux, uy, uz, tau_rem, orders, pk, pc,
+                  n_bad, n_lane_events)
+            for j in range(K):
+                st = fast_event(jax.random.fold_in(key, kb * K + j), st)
+            return kb + 1, launched, st, columns
+
+        def cond(carry):
+            kb, launched, st, _ = carry
+            return (jnp.any(st[0]) | (launched < n_photons)) & (kb < max_blocks)
+
+        st = (alive, x, y, z, ux, uy, uz, jnp.zeros(L, jnp.float32),
+              zeros_i, zeros_i, zeros_i, jnp.int32(0), jnp.float32(0.0))
+        kb, launched, st, columns = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), launched, st, columns))
+        columns, _ = flush(columns, st[9], st[10])
+        # Lanes alive at the block cap vanish with their weight: count bad.
+        n_bad = st[11] + jnp.sum(st[0]).astype(jnp.int32)
+
+        zero_cols = jnp.zeros(n_cols, jnp.float32)
+        zero0 = jnp.zeros(0, jnp.float32)
+        return RawTallies(
+            flux_up=columns[:, 0], flux_down=columns[:, 1],
+            flux_absorbed=zero_cols,
+            volume_absorption=jnp.zeros(n_cols * n_z, jnp.float32),
+            intensity=zero0, intensity_by_component=zero0,
+            intensity_excess=zero0,
+            n_photons=jnp.int32(n_photons), n_bad=n_bad,
+            n_iterations=kb * K, n_lane_events=st[12])
+
+    return trace

@@ -262,11 +262,30 @@ class Integrator:
 
     # ------------------------------------------------------------------
     def batch_tracer(self, n_photons: int, n_lanes: int | None = None):
-        """The raw jittable (key, PhotonBatch, source) -> RawTallies function."""
-        return make_batch_tracer(self.geometry, self.optics, self.tables,
-                                 self.surface, self.intensity, self.config,
-                                 n_photons, n_lanes,
-                                 coarse_geom=self.coarse_geometry)
+        """The raw jittable (key, PhotonBatch, source) -> RawTallies function.
+
+        Eligible workloads dispatch to the fused elementwise fastpath
+        (integrators/fastpath.py); anything it can't express — spectral
+        optics overrides included — uses the general wavefront kernel.
+        """
+        from i3rc_tpu.integrators.fastpath import fast_plan, make_fast_tracer
+
+        general = make_batch_tracer(self.geometry, self.optics, self.tables,
+                                    self.surface, self.intensity, self.config,
+                                    n_photons, n_lanes,
+                                    coarse_geom=self.coarse_geometry)
+        plan = fast_plan(self.geometry, self._flat, self.optics, self.surface,
+                         self.intensity, self.config)
+        if plan is None:
+            return general
+        fast = make_fast_tracer(self.geometry, plan, self.config, n_photons, n_lanes)
+
+        def trace(key, batch, source=None, optics_override=None):
+            if optics_override is not None:
+                return general(key, batch, source, optics_override)
+            return fast(key, batch, source)
+
+        return trace
 
     def batch_fn(self, source: PhotonSource, n_photons: int,
                  n_lanes: int | None = None):

@@ -1,0 +1,156 @@
+"""Fused elementwise fastpath: eligibility, dispatch, statistical agreement.
+
+The fastpath (integrators/fastpath.py) must produce the same physics as the
+general wavefront kernel — same expectations, different RNG event stream —
+whenever it elects itself.  These tests pin the eligibility logic, the
+separable-field detection, and cross-check fluxes between the two kernels.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from i3rc_tpu.core.illumination import PhotonSource
+from i3rc_tpu.integrators.config import IntegratorConfig
+from i3rc_tpu.integrators.fastpath import (
+    StepFactor,
+    detect_hg,
+    fast_plan,
+    hg_cosine,
+    separable_factors,
+)
+
+
+def _step_cloud(config, **kwargs):
+    from i3rc_tpu.models.step_cloud import make_step_cloud
+    from i3rc_tpu.integrators.integrator import Integrator
+
+    return Integrator.create(make_step_cloud(1.0), config=config, **kwargs)
+
+
+FAST_CFG = IntegratorConfig(use_ray_tracing=False, max_events=500,
+                            compute_volume_absorption=False,
+                            majorant_block_size=16)
+
+
+def _plan(integ):
+    return fast_plan(integ.geometry, integ._flat, integ.optics, integ.surface,
+                     integ.intensity, integ.config)
+
+
+def test_step_cloud_is_eligible():
+    integ = _step_cloud(FAST_CFG)
+    plan = _plan(integ)
+    assert plan is not None
+    assert plan.hg_g == pytest.approx(0.85)
+    # 32x1x32 cells with 16-cell blocks -> 2x1x2 coarse grid.
+    assert (plan.ncx, plan.ncy, plan.ncz) == (2, 1, 2)
+    # tau 2 / tau 18 halves over 250 m: factor ratio 1:9.
+    assert plan.fx.values == pytest.approx((2.0 / 18.0, 1.0), rel=1e-6)
+    assert plan.fz.values == pytest.approx((18.0 / 250.0,), rel=1e-6)
+
+
+@pytest.mark.parametrize("kwargs,cfg", [
+    # ray tracing transport is not expressible
+    (dict(), IntegratorConfig(use_ray_tracing=True)),
+    # volume absorption needs per-event cell tallies
+    (dict(), IntegratorConfig(use_ray_tracing=False, compute_volume_absorption=True)),
+    # reflecting surface: photons tally more than once
+    (dict(surface_albedo=0.2), FAST_CFG),
+    # radiance detectors use the general local-estimate machinery
+    (dict(intensity_mus=[0.5], intensity_phis=[0.0]), FAST_CFG),
+    # explicit opt-out
+    (dict(), IntegratorConfig(use_ray_tracing=False, compute_volume_absorption=False,
+                              use_fastpath=False)),
+])
+def test_ineligible_configs_fall_back(kwargs, cfg):
+    integ = _step_cloud(cfg, **kwargs)
+    assert _plan(integ) is None
+
+
+def test_absorbing_cloud_falls_back():
+    from i3rc_tpu.models.step_cloud import make_step_cloud
+    from i3rc_tpu.integrators.integrator import Integrator
+
+    integ = Integrator.create(make_step_cloud(0.99), config=FAST_CFG)
+    assert _plan(integ) is None
+
+
+def test_separable_factor_detection():
+    x = np.array([1.0, 1.0, 2.0, 2.0])
+    y = np.array([1.0])
+    z = np.array([0.0, 3.0, 3.0])
+    ext = x[:, None, None] * y[None, :, None] * z[None, None, :]
+    f = separable_factors(ext, np.arange(5.0), np.arange(2.0), np.arange(4.0))
+    assert f is not None
+    fx, fy, fz = f
+    got = (np.asarray([float(fx(np.float32(v + 0.5))) for v in range(4)])[:, None]
+           * float(fy(np.float32(0.5)))
+           * np.asarray([float(fz(np.float32(v + 0.5))) for v in range(3)])[None, :])
+    np.testing.assert_allclose(got, ext[:, 0, :], rtol=1e-6)
+    # Non-separable field: declined.
+    bad = ext.copy()
+    bad[1, 0, 1] *= 1.5
+    assert separable_factors(bad, np.arange(5.0), np.arange(2.0), np.arange(4.0)) is None
+
+
+def test_hg_detection_and_inversion():
+    from i3rc_tpu.core.phase_functions import (
+        PhaseFunction,
+        PhaseFunctionTable,
+        henyey_greenstein_coefficients,
+    )
+
+    hg = PhaseFunctionTable.from_phase_functions(
+        [PhaseFunction.from_legendre(henyey_greenstein_coefficients(0.7, 32))], key=[1.0])
+    assert detect_hg(hg) == pytest.approx(0.7)
+    not_hg = PhaseFunctionTable.from_phase_functions(
+        [PhaseFunction.from_legendre(np.array([0.7, 0.3]))], key=[1.0])
+    assert detect_hg(not_hg) is None
+
+    # Inversion: mean of sampled cosines is g; CDF round-trips.
+    g = 0.85
+    u = np.linspace(1e-6, 1.0 - 1e-6, 20001)
+    mu = np.asarray(hg_cosine(g, u.astype(np.float32)))
+    # E[mu] via the trapezoid over the uniform deviate IS the asymmetry.
+    assert np.trapezoid(mu, u) == pytest.approx(g, abs=1e-4)
+    # Analytic CDF of HG evaluated at the sampled mu returns u.
+    cdf = (1 - g**2) / (2 * g) * (1 / np.sqrt(1 + g**2 - 2 * g * mu.astype(np.float64))
+                                  - 1 / (1 + g))
+    np.testing.assert_allclose(cdf, u, atol=5e-4)
+
+
+def test_fastpath_matches_general_kernel():
+    """Flux cross-check at 2^16 photons: agreement within 3 sigma."""
+    n = 1 << 16
+    src = PhotonSource.directional(0.5, 0.0)
+    fast = _step_cloud(FAST_CFG)
+    gen = _step_cloud(IntegratorConfig(use_ray_tracing=False, max_events=500,
+                                       compute_volume_absorption=False,
+                                       majorant_block_size=16, use_fastpath=False))
+    rf = fast.batch_fn(src, n)(jax.random.PRNGKey(3))
+    rg = gen.batch_fn(src, n)(jax.random.PRNGKey(4))
+    sigma = float(np.sqrt(2 * 0.58 * 0.42 / n))  # two independent estimates
+    assert float(rf.mean_flux_up) == pytest.approx(float(rg.mean_flux_up),
+                                                   abs=3 * sigma)
+    # Conservative cloud over a black surface: energy closes exactly.
+    assert float(rf.mean_flux_up + rf.mean_flux_down) == pytest.approx(1.0, abs=1e-5)
+    assert int(rf.n_bad) == 0
+
+
+def test_fastpath_refill_budget_exact():
+    """n_photons >> lanes: every photon is launched and tallied exactly once."""
+    n, lanes = 40000, 4096
+    src = PhotonSource.directional(0.5, 0.0)
+    integ = _step_cloud(FAST_CFG)
+    res = integ.batch_fn(src, n, n_lanes=lanes)(jax.random.PRNGKey(7))
+    # Tallied weight (Fup + Fdn summed over columns, un-normalized by columns)
+    total = float(res.mean_flux_up + res.mean_flux_down)
+    assert total == pytest.approx(1.0, abs=1e-5)
+    assert int(res.n_photons) == n
+
+
+def test_step_factor_lookup():
+    f = StepFactor((1.0, 2.5), (10.0, 20.0, 30.0))
+    pos = np.array([0.5, 1.0, 2.0, 2.5, 3.0], np.float32)
+    np.testing.assert_allclose(np.asarray(f(pos)), [10, 20, 20, 30, 30])
