@@ -78,6 +78,21 @@ class StepFactor:
             v = jnp.where(pos >= jnp.float32(t), jnp.float32(val), v)
         return v
 
+    def next_face(self, pos, up, lo: float, hi: float):
+        """Nearest segment boundary (or domain edge) in the travel direction.
+
+        ``up`` is the direction sign as a bool; positions sit strictly
+        between faces (crossings nudge past them), so strict compares make
+        progress guaranteed.
+        """
+        face_up = jnp.full_like(pos, jnp.float32(hi))
+        for t in reversed(self.thresholds):
+            face_up = jnp.where(pos < jnp.float32(t), jnp.float32(t), face_up)
+        face_dn = jnp.full_like(pos, jnp.float32(lo))
+        for t in self.thresholds:
+            face_dn = jnp.where(pos > jnp.float32(t), jnp.float32(t), face_dn)
+        return jnp.where(up, face_up, face_dn)
+
     @property
     def n_ops(self) -> int:
         return len(self.thresholds)
@@ -122,14 +137,6 @@ def separable_factors(ext: np.ndarray, x_edges, y_edges, z_edges):
     return fx, fy, fz
 
 
-def _blockwise_max(v: np.ndarray, block: int) -> np.ndarray:
-    n = v.size
-    b = min(block, n)
-    while n % b:
-        b -= 1
-    return v.reshape(n // b, b).max(axis=1), b
-
-
 def detect_hg(table) -> float | None:
     """Asymmetry parameter when the (single-entry) table is pure HG.
 
@@ -154,20 +161,19 @@ def detect_hg(table) -> float | None:
 
 @dataclass(frozen=True)
 class FastPlan:
-    """Static (host-side) description of one fastpath compilation."""
+    """Static (host-side) description of one fastpath compilation.
+
+    The 1-D segment structure doubles as the transport grid: free paths are
+    sampled against the *exact* local extinction (piecewise constant within
+    a segment box), advancing one segment-crossing or collision per event.
+    Null collisions are eliminated by construction — for a separable field
+    the product of per-axis segment values IS the extinction, so every
+    tentative collision is physical and no acceptance test is needed.
+    """
 
     fx: StepFactor
     fy: StepFactor
     fz: StepFactor
-    mx: StepFactor            # coarse majorant factors (position space)
-    my: StepFactor
-    mz: StepFactor
-    cdx: float                # coarse block widths (for face arithmetic)
-    cdy: float
-    cdz: float
-    ncx: int
-    ncy: int
-    ncz: int
     hg_g: float
     unroll: int
 
@@ -203,37 +209,10 @@ def fast_plan(geom, flat, optics, surface, intensity, config) -> FastPlan | None
         return None
     fx, fy, fz = factors
 
-    # Coarse majorant grid: blockwise maxima of each (non-negative) factor.
-    # max over a block of fx*fy*fz == (max fx)(max fy)(max fz) for separable
-    # non-negative fields, so the super-voxel majorant is itself separable.
-    blk = int(config.majorant_block_size)
+    if fx.n_ops + fy.n_ops + fz.n_ops > MAX_SEGMENTS:
+        return None
 
-    def axis_majorant(factor_vals: np.ndarray, edges: np.ndarray, n: int):
-        global_sf = (StepFactor((), (float(factor_vals.max()),)), 1,
-                     float(edges[-1] - edges[0]))
-        if blk <= 0:
-            return global_sf
-        m, b = _blockwise_max(factor_vals, blk)
-        nblk = n // b
-        sf = _compress_factor(m, np.asarray([edges[b * i] for i in range(nblk + 1)]))
-        if sf is None:  # too many distinct blocks for a where-chain
-            return global_sf
-        return sf, nblk, float(edges[b] - edges[0])
-
-    ext = np.asarray(flat.total_ext, float)
-    i0, j0, k0 = np.unravel_index(np.argmax(ext), ext.shape)
-    pivot = ext[i0, j0, k0]
-    vx = ext[:, j0, k0] / pivot if pivot > 0 else np.zeros(ext.shape[0])
-    vy = ext[i0, :, k0] / pivot if pivot > 0 else np.ones(ext.shape[1])
-    vz = ext[i0, j0, :] if pivot > 0 else np.zeros(ext.shape[2])
-    xe, ye, ze = (np.asarray(geom.x_edges, float), np.asarray(geom.y_edges, float),
-                  np.asarray(geom.z_edges, float))
-    mx, ncx, cdx = axis_majorant(vx, xe, geom.n_x)
-    my, ncy, cdy = axis_majorant(vy, ye, geom.n_y)
-    mz, ncz, cdz = axis_majorant(vz, ze, geom.n_z)
-
-    return FastPlan(fx=fx, fy=fy, fz=fz, mx=mx, my=my, mz=mz,
-                    cdx=cdx, cdy=cdy, cdz=cdz, ncx=ncx, ncy=ncy, ncz=ncz,
+    return FastPlan(fx=fx, fy=fy, fz=fz,
                     hg_g=g, unroll=int(getattr(config, "fastpath_unroll", 8)))
 
 
@@ -258,7 +237,6 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
     x_max, y_max, z_max = geom.x_max, geom.y_max, geom.z_max
     inv_dx = 1.0 / geom.dx
     inv_dy = 1.0 / geom.dy
-    inv_cdx, inv_cdy, inv_cdz = 1.0 / plan.cdx, 1.0 / plan.cdy, 1.0 / plan.cdz
     # Face-push nudges: ~8 float32 ulps of the coordinate scale per axis —
     # enough that floor() relocates into the next block, small enough that
     # the extra path length (< 1e-5 of a block) is statistically invisible.
@@ -272,102 +250,99 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
     n_cols = n_x * n_y
 
     fx, fy, fz = plan.fx, plan.fy, plan.fz
-    mx, my, mz = plan.mx, plan.my, plan.mz
+    # y drops out of the kernel entirely for slab-symmetric domains (n_y == 1
+    # with a uniform y factor): nothing reads it — a y "crossing" is a pure
+    # periodic wrap with no physics and no tally key.
+    track_y = not (n_y == 1 and fy.n_ops == 0)
 
-    def wrap_x(x):
-        w = x_max - x0
-        out = x0 + jnp.mod(x - x0, w)
-        return jnp.where(out >= x_max, x0, out)
+    def wrap_fast(v, lo, hi):
+        """Periodic wrap for positions at most one event-step outside."""
+        w = hi - lo
+        return jnp.where(v >= hi, v - w, jnp.where(v < lo, v + w, v))
 
-    def wrap_y(y):
-        w = y_max - y0
-        out = y0 + jnp.mod(y - y0, w)
-        return jnp.where(out >= y_max, y0, out)
-
-    def exit_column(x, y, ux, uy, sz):
-        """Tally column where the ray crosses the domain's z boundary."""
-        xe = wrap_x(x + ux * sz)
-        ye = wrap_y(y + uy * sz)
-        ix = jnp.clip((((xe - x0) * inv_dx)).astype(jnp.int32), 0, n_x - 1)
-        iy = jnp.clip((((ye - y0) * inv_dy)).astype(jnp.int32), 0, n_y - 1)
-        return ix * n_y + iy
-
-    def fast_event(ek, st):
-        (alive, x, y, z, ux, uy, uz, tau_rem, orders, pk, pc,
-         n_bad, n_lane_events) = st
-        u = jax.random.uniform(ek, (4, L), dtype=jnp.float32)
+    def fast_event(u, st):
+        (alive, x, y, z, ux, uy, uz, tau_rem, orders, pk, pc, bad, evct) = st
         tau_rem = jnp.where(tau_rem > 0.0, tau_rem, exponential_deviate(u[0]))
 
-        # Local majorant + distance to the coarse block face (arithmetic on
-        # the regular coarse grid; one "event" = one crossing OR collision).
-        maj = mx(x) * my(y) * mz(z)
-        up_x = (ux >= 0.0).astype(jnp.float32)
-        up_y = (uy >= 0.0).astype(jnp.float32)
-        up_z = (uz >= 0.0).astype(jnp.float32)
-        if plan.ncx > 1:
-            bx = jnp.clip(jnp.floor((x - x0) * inv_cdx), 0, plan.ncx - 1)
-            face_x = x0 + (bx + up_x) * plan.cdx
-        else:
-            face_x = jnp.where(ux >= 0.0, jnp.float32(x_max), jnp.float32(x0))
-        if plan.ncy > 1:
-            by = jnp.clip(jnp.floor((y - y0) * inv_cdy), 0, plan.ncy - 1)
-            face_y = y0 + (by + up_y) * plan.cdy
-        else:
-            face_y = jnp.where(uy >= 0.0, jnp.float32(y_max), jnp.float32(y0))
-        if plan.ncz > 1:
-            bz = jnp.clip(jnp.floor((z - z0) * inv_cdz), 0, plan.ncz - 1)
-            face_z = z0 + (bz + up_z) * plan.cdz
-        else:
-            face_z = jnp.where(uz >= 0.0, jnp.float32(z_max), jnp.float32(z0))
+        # Exact local extinction (constant within the current segment box)
+        # and distance to the nearest segment face in the travel direction.
+        # One "event" = one segment crossing OR one (always-physical)
+        # collision; the segment structure IS the transport grid, so there
+        # are no null collisions and no acceptance test.
+        ext = fx(x) * fz(z)
+        if track_y:
+            ext = ext * fy(y)
+        up_x = ux >= 0.0
+        up_z = uz >= 0.0
+        face_x = fx.next_face(x, up_x, x0, x_max)
+        face_z = fz.next_face(z, up_z, z0, z_max)
         sx = jnp.where(jnp.abs(ux) >= 2e-30, (face_x - x) / ux, _HUGE)
-        sy = jnp.where(jnp.abs(uy) >= 2e-30, (face_y - y) / uy, _HUGE)
         sz = jnp.where(jnp.abs(uz) >= 2e-30, (face_z - z) / uz, _HUGE)
-        s_bnd = jnp.maximum(jnp.minimum(jnp.minimum(sx, sy), sz), 0.0)
-        s_col = jnp.where(maj > 0.0, tau_rem / jnp.maximum(maj, TINY), _HUGE)
+        s_bnd = jnp.minimum(sx, sz)
+        if track_y:
+            up_y = uy >= 0.0
+            face_y = fy.next_face(y, up_y, y0, y_max)
+            sy = jnp.where(jnp.abs(uy) >= 2e-30, (face_y - y) / uy, _HUGE)
+            s_bnd = jnp.minimum(s_bnd, sy)
+        s_bnd = jnp.maximum(s_bnd, 0.0)
+        s_col = jnp.where(ext > 0.0, tau_rem / jnp.maximum(ext, TINY), _HUGE)
 
         collide = alive & (s_col <= s_bnd)
         cross = alive & ~collide
         adv = jnp.minimum(s_col, s_bnd)
         nxp = x + ux * adv
-        nyp = y + uy * adv
         nzp = z + uz * adv
         # Push the crossed coordinate(s) strictly past the face so the next
-        # floor() lands in the new block (ties push several axes: harmless).
+        # event's segment lookups land in the new segment (ties push several
+        # axes: harmless).
         crossed_x = cross & (sx <= s_bnd)
-        crossed_y = cross & (sy <= s_bnd)
         crossed_z = cross & (sz <= s_bnd)
-        nxp = jnp.where(crossed_x, face_x + (2.0 * up_x - 1.0) * nudge_x, nxp)
-        nyp = jnp.where(crossed_y, face_y + (2.0 * up_y - 1.0) * nudge_y, nyp)
-        nzp = jnp.where(crossed_z, face_z + (2.0 * up_z - 1.0) * nudge_z, nzp)
+        sign_x = jnp.where(up_x, nudge_x, -nudge_x)
+        sign_z = jnp.where(up_z, nudge_z, -nudge_z)
+        nxp = jnp.where(crossed_x, face_x + sign_x, nxp)
+        nzp = jnp.where(crossed_z, face_z + sign_z, nzp)
+        nxp = wrap_fast(nxp, x0, x_max)
+        if track_y:
+            nyp = y + uy * adv
+            crossed_y = cross & (sy <= s_bnd)
+            nyp = jnp.where(crossed_y, face_y + jnp.where(up_y, nudge_y, -nudge_y), nyp)
+            nyp = wrap_fast(nyp, y0, y_max)
 
         exit_top = cross & (nzp >= z_max)
         exit_bot = cross & ~exit_top & (nzp <= z0)
         exited = exit_top | exit_bot
-        col = exit_column(x, y, ux, uy, sz)
+        # Exit tally column: for exiting lanes adv == sz (the domain z face
+        # attained the min), so the committed, wrapped position IS the
+        # boundary crossing point.
+        ix = jnp.clip(((nxp - x0) * inv_dx).astype(jnp.int32), 0, n_x - 1)
+        if track_y and n_y > 1:
+            iy = jnp.clip(((nyp - y0) * inv_dy).astype(jnp.int32), 0, n_y - 1)
+            col = ix * n_y + iy
+        else:
+            col = ix
         pk = jnp.where(exit_top, 1, jnp.where(exit_bot, 2, pk))
         pc = jnp.where(exited, col, pc)
 
-        # Tentative collision: accept physical with probability ext / maj.
-        ext = fx(nxp) * fy(nyp) * fz(nzp)
-        physical = collide & (u[1] * maj < ext)
-        cos_scat = hg_cosine(plan.hg_g, u[2])
-        nux, nuy, nuz = rotate_direction(ux, uy, uz, cos_scat, u[3])
+        cos_scat = hg_cosine(plan.hg_g, u[1])
+        nux, nuy, nuz = rotate_direction(ux, uy, uz, cos_scat, u[2])
 
-        orders = orders + physical.astype(jnp.int32)
+        orders = orders + collide.astype(jnp.int32)
         over = alive & (orders >= max_events)
-        n_bad = n_bad + jnp.sum(over).astype(jnp.int32)
-        n_lane_events = n_lane_events + jnp.sum(alive.astype(jnp.float32))
+        # Per-lane counters, reduced once per batch: a cross-lane sum here
+        # would break the event step's single-fusion structure.
+        bad = bad + over.astype(jnp.int32)
+        evct = evct + alive.astype(jnp.int32)
 
         alive = alive & ~exited & ~over
-        x = jnp.where(alive, wrap_x(nxp), x)
-        y = jnp.where(alive, wrap_y(nyp), y)
+        x = jnp.where(alive, nxp, x)
         z = jnp.where(alive, nzp, z)
-        ux = jnp.where(physical, nux, ux)
-        uy = jnp.where(physical, nuy, uy)
-        uz = jnp.where(physical, nuz, uz)
-        tau_rem = jnp.where(collide, 0.0, tau_rem - s_bnd * maj)
-        return (alive, x, y, z, ux, uy, uz, tau_rem, orders, pk, pc,
-                n_bad, n_lane_events)
+        if track_y:
+            y = jnp.where(alive, nyp, y)
+        ux = jnp.where(collide, nux, ux)
+        uy = jnp.where(collide, nuy, uy)
+        uz = jnp.where(collide, nuz, uz)
+        tau_rem = jnp.where(collide, 0.0, tau_rem - s_bnd * ext)
+        return (alive, x, y, z, ux, uy, uz, tau_rem, orders, pk, pc, bad, evct)
 
     def flush(columns, pk, pc):
         vals = jnp.stack([(pk == 1).astype(jnp.float32),
@@ -389,7 +364,7 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
         def body(carry):
             kb, launched, st, columns = carry
             (alive, x, y, z, ux, uy, uz, tau_rem, orders, pk, pc,
-             n_bad, n_lane_events) = st
+             bad, evct) = st
             # Flush last block's deaths, then refill those lanes (FIFO).
             columns, pk = flush(columns, pk, pc)
             if n_photons > L:
@@ -410,9 +385,14 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
                 launched = launched + jnp.sum(refill.astype(jnp.int32))
                 alive = alive | refill
             st = (alive, x, y, z, ux, uy, uz, tau_rem, orders, pk, pc,
-                  n_bad, n_lane_events)
+                  bad, evct)
+            # Per-event RNG dispatch: XLA keeps each (3, L) draw VMEM-resident
+            # (a single (K, 3, L) block draw was measured 9% slower — the
+            # buffer spills to HBM and every event re-reads it).
             for j in range(K):
-                st = fast_event(jax.random.fold_in(key, kb * K + j), st)
+                u = jax.random.uniform(jax.random.fold_in(key, kb * K + j),
+                                       (3, L), dtype=jnp.float32)
+                st = fast_event(u, st)
             return kb + 1, launched, st, columns
 
         def cond(carry):
@@ -420,12 +400,12 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
             return (jnp.any(st[0]) | (launched < n_photons)) & (kb < max_blocks)
 
         st = (alive, x, y, z, ux, uy, uz, jnp.zeros(L, jnp.float32),
-              zeros_i, zeros_i, zeros_i, jnp.int32(0), jnp.float32(0.0))
+              zeros_i, zeros_i, zeros_i, zeros_i, zeros_i)
         kb, launched, st, columns = jax.lax.while_loop(
             cond, body, (jnp.int32(0), launched, st, columns))
         columns, _ = flush(columns, st[9], st[10])
         # Lanes alive at the block cap vanish with their weight: count bad.
-        n_bad = st[11] + jnp.sum(st[0]).astype(jnp.int32)
+        n_bad = jnp.sum(st[11] + st[0].astype(jnp.int32))
 
         zero_cols = jnp.zeros(n_cols, jnp.float32)
         zero0 = jnp.zeros(0, jnp.float32)
@@ -436,6 +416,7 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
             intensity=zero0, intensity_by_component=zero0,
             intensity_excess=zero0,
             n_photons=jnp.int32(n_photons), n_bad=n_bad,
-            n_iterations=kb * K, n_lane_events=st[12])
+            n_iterations=kb * K,
+            n_lane_events=jnp.sum(st[12]).astype(jnp.float32))
 
     return trace

@@ -43,8 +43,8 @@ def test_step_cloud_is_eligible():
     plan = _plan(integ)
     assert plan is not None
     assert plan.hg_g == pytest.approx(0.85)
-    # 32x1x32 cells with 16-cell blocks -> 2x1x2 coarse grid.
-    assert (plan.ncx, plan.ncy, plan.ncz) == (2, 1, 2)
+    # step in x at mid-domain; uniform in y and z.
+    assert (plan.fx.n_ops, plan.fy.n_ops, plan.fz.n_ops) == (1, 0, 0)
     # tau 2 / tau 18 halves over 250 m: factor ratio 1:9.
     assert plan.fx.values == pytest.approx((2.0 / 18.0, 1.0), rel=1e-6)
     assert plan.fz.values == pytest.approx((18.0 / 250.0,), rel=1e-6)
