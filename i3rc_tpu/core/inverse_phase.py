@@ -22,13 +22,23 @@ def _mu_value_grid(pf: PhaseFunction):
     """Phase function on a mu-ascending grid (backscatter -> forward).
 
     Mirrors inversePhaseFunctions.f95:90-115: native angles for tabulated
-    storage, Lobatto nodes of order max(nMoments, 2) for Legendre storage.
+    storage, Lobatto nodes for Legendre storage.
+
+    Resolution note: the reference uses Lobatto nodes of order nMoments only
+    (inversePhaseFunctions.f95:90-115).  For forward-peaked functions the
+    trapezoid CDF over that coarse grid biases the sampled distribution —
+    HG g=0.85 at 64 moments comes out with effective asymmetry 0.8518,
+    shifting the I3RC step-cloud Fup by ~2e-3 (a documented reference
+    approximation defect).  We oversample 16x (capped at 4096 nodes,
+    effective-asymmetry error < 1e-5 at g=0.85) so the tabulated pipeline
+    converges to the expansion's exact distribution; the elementwise
+    fastpath's analytic HG inversion then agrees with it statistically.
     """
     if pf.stored_as_tabulated:
         mus = np.cos(pf.scattering_angle[::-1])
         values = pf.values(pf.scattering_angle)[::-1]
     else:
-        n = max(pf.n_moments, 2)
+        n = min(max(16 * pf.n_moments, 128), 4096)
         mus, _ = lobatto(n)
         mus = np.clip(mus, -1.0, 1.0)
         values = pf.values(np.arccos(mus[::-1]))[::-1]

@@ -57,8 +57,13 @@ def test_step_cloud_is_eligible():
     (dict(), IntegratorConfig(use_ray_tracing=False, compute_volume_absorption=True)),
     # reflecting surface: photons tally more than once
     (dict(surface_albedo=0.2), FAST_CFG),
-    # radiance detectors use the general local-estimate machinery
-    (dict(intensity_mus=[0.5], intensity_phis=[0.0]), FAST_CFG),
+    # non-default radiance estimators use the general local-estimate machinery
+    (dict(intensity_mus=[0.5], intensity_phis=[0.0]),
+     IntegratorConfig(use_ray_tracing=False, compute_volume_absorption=False,
+                      use_russian_roulette_for_intensity=True)),
+    (dict(intensity_mus=[0.5], intensity_phis=[0.0]),
+     IntegratorConfig(use_ray_tracing=False, compute_volume_absorption=False,
+                      use_hybrid_phase_funs=True)),
     # explicit opt-out
     (dict(), IntegratorConfig(use_ray_tracing=False, compute_volume_absorption=False,
                               use_fastpath=False)),
@@ -136,6 +141,29 @@ def test_fastpath_matches_general_kernel():
     # Conservative cloud over a black surface: energy closes exactly.
     assert float(rf.mean_flux_up + rf.mean_flux_down) == pytest.approx(1.0, abs=1e-5)
     assert int(rf.n_bad) == 0
+
+
+def test_fastpath_radiance_matches_general_kernel():
+    """Local-estimate radiance: fastpath's unrolled segment-DDA shadow rays +
+    analytic HG phase values vs the general kernel's tabulated machinery."""
+    n = 1 << 15
+    src = PhotonSource.directional(0.5, 0.0)
+    det = dict(intensity_mus=[0.5, -0.5], intensity_phis=[0.0, 0.0])
+    fast = _step_cloud(IntegratorConfig(use_ray_tracing=False, max_events=500,
+                                        compute_volume_absorption=False), **det)
+    gen = _step_cloud(IntegratorConfig(use_ray_tracing=False, max_events=500,
+                                       compute_volume_absorption=False,
+                                       majorant_block_size=16,
+                                       use_fastpath=False), **det)
+    assert _plan(fast) is not None and _plan(fast).detectors
+    rf = fast.batch_fn(src, n)(jax.random.PRNGKey(11))
+    rg = gen.batch_fn(src, n)(jax.random.PRNGKey(12))
+    i_f = np.asarray(rf.mean_intensity)
+    i_g = np.asarray(rg.mean_intensity)
+    # ~1% relative statistical spread at 2^15 photons for these detectors.
+    np.testing.assert_allclose(i_f, i_g, rtol=0.06)
+    # Flux tallies ride along unchanged.
+    assert float(rf.mean_flux_up + rf.mean_flux_down) == pytest.approx(1.0, abs=1e-5)
 
 
 def test_fastpath_refill_budget_exact():
