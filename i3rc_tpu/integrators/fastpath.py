@@ -145,6 +145,38 @@ def separable_factors(ext: np.ndarray, x_edges, y_edges, z_edges):
     return fx, fy, fz
 
 
+def column_structure(ext: np.ndarray, z_edges: np.ndarray) -> np.ndarray | None:
+    """(n_cols, 3) [v, z_base, z_top] when every column is one homogeneous
+    layer (contiguous constant-extinction z-run, clear elsewhere), else None.
+
+    The I3RC Landsat scene has exactly this shape: each column's cloud
+    occupies nint(thickness/20m) layers from the domain base with uniform
+    extinction tau/thickness (i3rcLandsatCloud.f95:100-104).
+    """
+    from i3rc_tpu.ops.gather import ONEHOT_MAX_ROWS
+
+    nx, ny, nz = ext.shape
+    if nx * ny > ONEHOT_MAX_ROWS:
+        return None
+    flat = ext.reshape(nx * ny, nz)
+    nonzero = flat > 0.0
+    count = nonzero.sum(axis=1)
+    first = np.where(count > 0, np.argmax(nonzero, axis=1), 0)
+    last = np.where(count > 0, nz - 1 - np.argmax(nonzero[:, ::-1], axis=1), -1)
+    if not np.all((last - first + 1 == count) | (count == 0)):
+        return None  # non-contiguous cloud layer somewhere
+    v = flat.max(axis=1)
+    in_run = nonzero
+    if not np.all(np.where(in_run, flat, v[:, None]) == v[:, None]):
+        return None  # extinction varies within a column's run
+    z_edges = np.asarray(z_edges, np.float64)
+    zb = z_edges[first]
+    zt = z_edges[last + 1]
+    zb = np.where(count > 0, zb, z_edges[0])
+    zt = np.where(count > 0, zt, z_edges[0])
+    return np.stack([v, zb, zt], axis=1).astype(np.float32)
+
+
 def detect_hg(table) -> float | None:
     """Asymmetry parameter when the (single-entry) table is pure HG.
 
@@ -189,6 +221,13 @@ class FastPlan:
     # transmittance trace (segments crossed to the z boundary, any start).
     detectors: tuple = ()
     shadow_steps: int = 0
+    # Column-structured medium (e.g. the I3RC Landsat scene,
+    # i3rcLandsatCloud.f95:100-104): per (x, y) column one homogeneous cloud
+    # layer [z_base, z_top) of extinction v, clear elsewhere.  column_data is
+    # (n_cols, 3) float32 [v, z_base, z_top]; the per-event lookup is one
+    # factored one-hot read (the dominant cost for big scenes — measured
+    # ~5.6 ns/lane for 16k columns vs ~0.2 ns/lane for everything else).
+    column_data: object = None
 
 
 def fast_plan(geom, flat, optics, surface, intensity, config) -> FastPlan | None:
@@ -228,12 +267,20 @@ def fast_plan(geom, flat, optics, surface, intensity, config) -> FastPlan | None
         return None
     factors = separable_factors(flat.total_ext, np.asarray(geom.x_edges),
                                 np.asarray(geom.y_edges), np.asarray(geom.z_edges))
+    if factors is not None and (factors[0].n_ops + factors[1].n_ops
+                                + factors[2].n_ops > MAX_SEGMENTS):
+        factors = None
+    column_data = None
     if factors is None:
-        return None
-    fx, fy, fz = factors
-
-    if fx.n_ops + fy.n_ops + fz.n_ops > MAX_SEGMENTS:
-        return None
+        if intensity is not None:   # unrolled shadow rays need few segments
+            return None
+        column_data = column_structure(flat.total_ext, np.asarray(geom.z_edges))
+        if column_data is None:
+            return None
+        trivial = StepFactor((), (1.0,))
+        fx = fy = fz = trivial
+    else:
+        fx, fy, fz = factors
 
     detectors = ()
     shadow_steps = 0
@@ -265,7 +312,8 @@ def fast_plan(geom, flat, optics, surface, intensity, config) -> FastPlan | None
 
     return FastPlan(fx=fx, fy=fy, fz=fz,
                     hg_g=g, unroll=int(getattr(config, "fastpath_unroll", 8)),
-                    detectors=detectors, shadow_steps=shadow_steps)
+                    detectors=detectors, shadow_steps=shadow_steps,
+                    column_data=column_data)
 
 
 # ---------------------------------------------------------------------------
@@ -309,10 +357,15 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
     n_cols = n_x * n_y
 
     fx, fy, fz = plan.fx, plan.fy, plan.fz
+    column_mode = plan.column_data is not None
+    if column_mode:
+        from i3rc_tpu.ops.gather import read_rows as _read_rows
+        column_table = jnp.asarray(plan.column_data)
+        read_rows = _read_rows
     # y drops out of the kernel entirely for slab-symmetric domains (n_y == 1
     # with a uniform y factor): nothing reads it — a y "crossing" is a pure
     # periodic wrap with no physics and no tally key.
-    track_y = not (n_y == 1 and fy.n_ops == 0)
+    track_y = column_mode or not (n_y == 1 and fy.n_ops == 0)
 
     def wrap_fast(v, lo, hi):
         """Periodic wrap for positions at most one event-step outside."""
@@ -399,19 +452,41 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
         # One "event" = one segment crossing OR one (always-physical)
         # collision; the segment structure IS the transport grid, so there
         # are no null collisions and no acceptance test.
-        ext = fx(x) * fz(z)
-        if track_y:
-            ext = ext * fy(y)
         up_x = ux >= 0.0
         up_z = uz >= 0.0
-        face_x = fx.next_face(x, up_x, x0, x_max)
-        face_z = fz.next_face(z, up_z, z0, z_max)
+        if track_y:
+            up_y = uy >= 0.0
+        if column_mode:
+            # One factored one-hot read per event fetches the lane's column
+            # [v, z_base, z_top]; transport within the column is exact
+            # (homogeneous layer + clear air), faces are the fine x/y grid
+            # and the column's own z window.
+            ix_c = jnp.clip(((x - x0) * inv_dx).astype(jnp.int32), 0, n_x - 1)
+            iy_c = jnp.clip(((y - y0) * inv_dy).astype(jnp.int32), 0, n_y - 1)
+            cdat = read_rows(column_table, ix_c * n_y + iy_c)
+            vcol, zb, zt = cdat[:, 0], cdat[:, 1], cdat[:, 2]
+            ext = jnp.where((z >= zb) & (z < zt), vcol, 0.0)
+            face_x = x0 + (jnp.floor((x - x0) * inv_dx)
+                           + up_x.astype(jnp.float32)) * geom.dx
+            face_y = y0 + (jnp.floor((y - y0) * inv_dy)
+                           + (uy >= 0.0).astype(jnp.float32)) * geom.dy
+            face_z = jnp.where(up_z,
+                               jnp.where(z < zb, zb,
+                                         jnp.where(z < zt, zt, jnp.float32(z_max))),
+                               jnp.where(z > zt, zt,
+                                         jnp.where(z > zb, zb, jnp.float32(z0))))
+        else:
+            ext = fx(x) * fz(z)
+            if track_y:
+                ext = ext * fy(y)
+            face_x = fx.next_face(x, up_x, x0, x_max)
+            face_z = fz.next_face(z, up_z, z0, z_max)
+            if track_y:
+                face_y = fy.next_face(y, up_y, y0, y_max)
         sx = jnp.where(jnp.abs(ux) >= 2e-30, (face_x - x) / ux, _HUGE)
         sz = jnp.where(jnp.abs(uz) >= 2e-30, (face_z - z) / uz, _HUGE)
         s_bnd = jnp.minimum(sx, sz)
         if track_y:
-            up_y = uy >= 0.0
-            face_y = fy.next_face(y, up_y, y0, y_max)
             sy = jnp.where(jnp.abs(uy) >= 2e-30, (face_y - y) / uy, _HUGE)
             s_bnd = jnp.minimum(s_bnd, sy)
         s_bnd = jnp.maximum(s_bnd, 0.0)

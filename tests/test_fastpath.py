@@ -178,6 +178,69 @@ def test_fastpath_refill_budget_exact():
     assert int(res.n_photons) == n
 
 
+def test_column_medium_matches_general_kernel():
+    """Column-structured field (the Landsat shape): one homogeneous layer per
+    column, exact two-segment transport + per-event one-hot column read."""
+    from i3rc_tpu.core.optics import Domain
+    from i3rc_tpu.core.phase_functions import (
+        PhaseFunction,
+        PhaseFunctionTable,
+        henyey_greenstein_coefficients,
+    )
+    from i3rc_tpu.integrators.integrator import Integrator
+
+    rng = np.random.default_rng(0)
+    nx = ny = 8
+    nz = 12
+    v = rng.uniform(0.0, 0.05, (nx, ny))
+    v[0, 0] = 0.0  # an empty column
+    ntop = rng.integers(1, nz + 1, (nx, ny))
+    ext = np.zeros((nx, ny, nz))
+    for i in range(nx):
+        for j in range(ny):
+            ext[i, j, :ntop[i, j]] = v[i, j]
+    table = PhaseFunctionTable.from_phase_functions(
+        [PhaseFunction.from_legendre(henyey_greenstein_coefficients(0.85, 32))],
+        key=[1.0])
+    dom = Domain.create(np.linspace(0, 240, nx + 1), np.linspace(0, 240, ny + 1),
+                        np.linspace(0, 120, nz + 1))
+    dom = dom.add_component("c", ext, np.ones_like(ext),
+                            np.zeros(ext.shape, np.int32), table)
+    src = PhotonSource.directional(0.5, 0.0)
+    n = 1 << 15
+    fast = Integrator.create(dom, config=IntegratorConfig(
+        use_ray_tracing=False, max_events=500, compute_volume_absorption=False))
+    gen = Integrator.create(dom, config=IntegratorConfig(
+        use_ray_tracing=False, max_events=500, compute_volume_absorption=False,
+        use_fastpath=False, majorant_block_size=4))
+    plan = fast_plan(fast.geometry, fast._flat, fast.optics, fast.surface,
+                     fast.intensity, fast.config)
+    assert plan is not None and plan.column_data is not None
+    rf = fast.batch_fn(src, n)(jax.random.PRNGKey(2))
+    rg = gen.batch_fn(src, n)(jax.random.PRNGKey(3))
+    sigma = float(np.sqrt(2 * 0.24 * 0.76 / n))
+    assert float(rf.mean_flux_up) == pytest.approx(float(rg.mean_flux_up),
+                                                   abs=3 * sigma)
+    assert float(rf.mean_flux_up + rf.mean_flux_down) == pytest.approx(1.0, abs=1e-5)
+    assert int(rf.n_bad) == 0
+
+
+def test_column_structure_detection():
+    from i3rc_tpu.integrators.fastpath import column_structure
+
+    ext = np.zeros((2, 2, 4))
+    ext[0, 0, :2] = 0.5
+    ext[0, 1, 1:3] = 0.25  # elevated base is fine
+    cd = column_structure(ext, np.arange(5.0))
+    np.testing.assert_allclose(cd, [[0.5, 0, 2], [0.25, 1, 3],
+                                    [0.0, 0, 0], [0.0, 0, 0]])
+    # non-contiguous or non-constant runs are declined
+    bad1 = ext.copy(); bad1[0, 0, 3] = 0.5
+    assert column_structure(bad1, np.arange(5.0)) is None
+    bad2 = ext.copy(); bad2[0, 0, 1] = 0.4
+    assert column_structure(bad2, np.arange(5.0)) is None
+
+
 def test_step_factor_lookup():
     f = StepFactor((1.0, 2.5), (10.0, 20.0, 30.0))
     pos = np.array([0.5, 1.0, 2.0, 2.5, 3.0], np.float32)
