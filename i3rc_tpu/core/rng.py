@@ -22,11 +22,14 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # Smallest positive normal float32: lower bound for -log(u) arguments,
 # mirroring the reference's max(tiny(x), u) guard
 # (Integrators/monteCarloRadiativeTransfer.f95:480).
-TINY = jnp.float32(1.1754944e-38)
+# np scalar (not a jax array): usable as a closure constant inside Pallas
+# kernels, where captured concrete jax arrays are rejected.
+TINY = np.float32(1.1754944e-38)
 
 
 def batch_key(seed: int, batch: int, impl: str | None = None) -> jax.Array:

@@ -81,6 +81,13 @@ class IntegratorConfig:
     # block (the deferred-tally period K).
     use_fastpath: bool = True
     fastpath_unroll: int = 8
+    # Pallas (Mosaic) event-block kernel for the fastpath: runs K = unroll
+    # events per HBM round-trip with the whole wavefront state VMEM-resident
+    # (ops-level analog of the XLA fastpath; same physics, different RNG
+    # stream — the kernel draws from the TPU hardware PRNG seeded per
+    # (batch key, block, grid program)).  None = auto (TPU backend only);
+    # True forces it (interpret mode off-TPU, for tests); False disables.
+    use_pallas_fastpath: bool | None = None
 
     def validate(self) -> "IntegratorConfig":
         """Range checks with the reference's warning-downgrade semantics."""

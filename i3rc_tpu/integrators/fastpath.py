@@ -54,7 +54,9 @@ from i3rc_tpu.integrators.wavefront import (
 )
 from i3rc_tpu.ops.tally import tally_multi
 
-_HUGE = jnp.float32(3.0e38)
+# np scalar: closure constants must not be concrete jax arrays (the Pallas
+# event-block kernel closes over fast_event and rejects captured arrays).
+_HUGE = np.float32(3.0e38)
 
 # Most segments per 1-D factor before the where-chain lookup stops paying.
 MAX_SEGMENTS = 24
@@ -334,6 +336,120 @@ def hg_phase(g: float, cos_theta):
     return (1.0 - g * g) * r * r * r
 
 
+def _build_pallas_block(fast_event, track_y: bool, L: int, K: int,
+                        interpret: bool = False):
+    """Mosaic kernel running K fast_event steps with VMEM-resident state.
+
+    The wavefront state (13 per-lane arrays) is tiled (rows, 128) and
+    blocked over a 1-D grid; each program advances its lane block through K
+    complete events — free-path sampling, segment crossing, collision,
+    HG scattering rotation, exit bookkeeping — without touching HBM.
+    Randomness comes from the TPU hardware PRNG (pltpu.prng_random_bits),
+    seeded per (batch-key words, grid program), one (BLK, 128) draw per use
+    (3 per event), uint32 -> [0,1) via the top-24-bit ladder.
+
+    Returns block_fn(seed2 (1,2) i32, state_tuple) -> state_tuple operating
+    on the XLA-side (L,)-shaped state (reshapes at the boundary are free).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    R = L // 128
+    BLK = min(R, 256)
+    while R % BLK or BLK % 8:
+        BLK -= 8
+    n_grid = R // BLK
+
+    f32, i32 = jnp.float32, jnp.int32
+    fields = ["alive", "x"] + (["y"] if track_y else []) + [
+        "z", "ux", "uy", "uz", "tau", "orders", "pk", "pc", "bad", "evct"]
+    int_fields = {"alive", "orders", "pk", "pc", "bad", "evct"}
+    n_state = len(fields)
+
+    def _to_unit(bits):
+        # uint32 -> [0, 1): mantissa-fill to [1, 2) then subtract 1 — pure
+        # bit ops + one f32 subtract (Mosaic has no uint32->f32 cast).
+        mant = (bits >> jnp.uint32(9)) | jnp.uint32(0x3F800000)
+        return pltpu.bitcast(mant, f32) - f32(1.0)
+
+    def _uniform_hw():
+        return _to_unit(pltpu.bitcast(pltpu.prng_random_bits((BLK, 128)),
+                                      jnp.uint32))
+
+    def _uniform_hash(lane_key, ctr):
+        # Counter-based murmur-style mix — the interpret-mode fallback (the
+        # TPU interpreter's emulated hardware PRNG yields zeros under a
+        # multi-device CPU backend).  Quality is adequate for the CI-level
+        # statistical assertions; real runs use the hardware PRNG.
+        x = lane_key ^ (jnp.uint32(ctr) * jnp.uint32(0x9E3779B9))
+        x = (x ^ (x >> jnp.uint32(16))) * jnp.uint32(0x7FEB352D)
+        x = (x ^ (x >> jnp.uint32(15))) * jnp.uint32(0x846CA68B)
+        return _to_unit(x ^ (x >> jnp.uint32(16)))
+
+    def kernel(seed_ref, *refs):
+        ins, outs = refs[:n_state], refs[n_state:]
+        # Mosaic accepts at most two seed words: mix the grid program into
+        # the second (odd-constant multiply decorrelates adjacent programs).
+        pid = pl.program_id(0)
+        if not interpret:
+            pltpu.prng_seed(seed_ref[0, 0], seed_ref[0, 1] + pid * (-1640531527))
+            draw = lambda ctr: _uniform_hw()
+        else:
+            row = jax.lax.broadcasted_iota(jnp.uint32, (BLK, 128), 0)
+            col = jax.lax.broadcasted_iota(jnp.uint32, (BLK, 128), 1)
+            lk = (row * jnp.uint32(128) + col
+                  + jnp.uint32(BLK * 128) * jnp.uint32(pid))
+            s01 = (seed_ref[0, 0].astype(jnp.uint32) * jnp.uint32(0x85EBCA6B)
+                   ^ seed_ref[0, 1].astype(jnp.uint32))
+            lane_key = lk * jnp.uint32(0xC2B2AE35) ^ s01
+            draw = lambda ctr: _uniform_hash(lane_key, ctr)
+        v = {name: ref[...] for name, ref in zip(fields, ins)}
+        st = (v["alive"] != 0, v["x"], v["y"] if track_y else f32(0.0),
+              v["z"], v["ux"], v["uy"], v["uz"], v["tau"], v["orders"],
+              v["pk"], v["pc"], v["bad"], v["evct"], f32(0.0))
+        for j in range(K):
+            st = fast_event((draw(3 * j), draw(3 * j + 1), draw(3 * j + 2)), st)
+        (alive, x, y, z, ux, uy, uz, tau, orders, pk, pc, bad, evct, _) = st
+        new = {"alive": alive.astype(i32), "x": x, "z": z, "ux": ux,
+               "uy": uy, "uz": uz, "tau": tau, "orders": orders,
+               "pk": pk, "pc": pc, "bad": bad, "evct": evct}
+        if track_y:
+            new["y"] = y
+        for name, ref in zip(fields, outs):
+            ref[...] = new[name]
+
+    spec = pl.BlockSpec((BLK, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        kernel,
+        grid=(n_grid,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [spec] * n_state,
+        out_specs=[spec] * n_state,
+        out_shape=[jax.ShapeDtypeStruct((R, 128), i32 if n in int_fields else f32)
+                   for n in fields],
+        input_output_aliases={i + 1: i for i in range(n_state)},
+        # Off-TPU (tests): the TPU-semantics interpreter, which emulates the
+        # Mosaic primitives (hardware PRNG included), unlike interpret=True.
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )
+
+    def block_fn(seed2, st):
+        (alive, x, y, z, ux, uy, uz, tau, orders, pk, pc, bad, evct,
+         acc_int) = st
+        args = {"alive": alive.astype(i32), "x": x, "z": z, "ux": ux,
+                "uy": uy, "uz": uz, "tau": tau, "orders": orders, "pk": pk,
+                "pc": pc, "bad": bad, "evct": evct}
+        if track_y:
+            args["y"] = y
+        outs = call(seed2, *[args[n].reshape(R, 128) for n in fields])
+        new = {n: o.reshape(L) for n, o in zip(fields, outs)}
+        return (new["alive"] != 0, new["x"], new["y"] if track_y else y,
+                new["z"], new["ux"], new["uy"], new["uz"], new["tau"],
+                new["orders"], new["pk"], new["pc"], new["bad"],
+                new["evct"], acc_int)
+
+    return block_fn
+
+
 def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
                      n_lanes: int | None = None):
     """Build trace(key, batch, source) -> RawTallies for the fast plan."""
@@ -347,9 +463,9 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
     # Face-push nudges: ~8 float32 ulps of the coordinate scale per axis —
     # enough that floor() relocates into the next block, small enough that
     # the extra path length (< 1e-5 of a block) is statistically invisible.
-    nudge_x = jnp.float32(8 * 2.0 ** -23 * max(abs(x0), abs(x_max)))
-    nudge_y = jnp.float32(8 * 2.0 ** -23 * max(abs(y0), abs(y_max)))
-    nudge_z = jnp.float32(8 * 2.0 ** -23 * max(abs(z0), abs(z_max)))
+    nudge_x = np.float32(8 * 2.0 ** -23 * max(abs(x0), abs(x_max)))
+    nudge_y = np.float32(8 * 2.0 ** -23 * max(abs(y0), abs(y_max)))
+    nudge_z = np.float32(8 * 2.0 ** -23 * max(abs(z0), abs(z_max)))
     max_events = config.max_events
     # Global hang guard (counts K-event blocks): fastpath events include
     # block crossings and null collisions, so allow ~2x the general budget.
@@ -566,6 +682,27 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
         return (alive, x, y, z, ux, uy, uz, tau_rem, orders, pk, pc, bad, evct,
                 acc_int)
 
+    # ------------------------------------------------------------------
+    # Pallas event-block: K events per HBM round-trip.  The XLA fastpath
+    # dispatches each event as (at best) one fused elementwise kernel, so
+    # every event pays a full read+write of the wavefront state from HBM
+    # (~13 MB at 2^17 lanes — measured ~27 us/event, right at the bandwidth
+    # bound).  The Mosaic kernel keeps the state VMEM-resident across the
+    # whole K-event block: traffic drops K-fold and the VPU runs from
+    # registers.  Physics is byte-for-byte the same code (fast_event);
+    # only the RNG stream differs (TPU hardware PRNG, seeded per
+    # (batch key, block index, grid program)).
+    # ------------------------------------------------------------------
+    want_pallas = config.use_pallas_fastpath
+    if want_pallas is None:
+        want_pallas = jax.default_backend() == "tpu"
+    use_pallas = (want_pallas and D == 0 and not column_mode
+                  and L % 1024 == 0)
+    if use_pallas:
+        pallas_block = _build_pallas_block(
+            fast_event, track_y, L, K,
+            interpret=jax.default_backend() != "tpu")
+
     def flush(columns, pk, pc):
         vals = jnp.stack([(pk == 1).astype(jnp.float32),
                           (pk == 2).astype(jnp.float32)], axis=1)
@@ -608,13 +745,21 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
                 alive = alive | refill
             st = (alive, x, y, z, ux, uy, uz, tau_rem, orders, pk, pc,
                   bad, evct, acc_int)
-            # Per-event RNG dispatch: XLA keeps each (3, L) draw VMEM-resident
-            # (a single (K, 3, L) block draw was measured 9% slower — the
-            # buffer spills to HBM and every event re-reads it).
-            for j in range(K):
-                u = jax.random.uniform(jax.random.fold_in(key, kb * K + j),
-                                       (3, L), dtype=jnp.float32)
-                st = fast_event(u, st)
+            if use_pallas:
+                kd = jax.lax.bitcast_convert_type(
+                    jax.random.key_data(jax.random.fold_in(key, kb)),
+                    jnp.int32).ravel()
+                seed2 = jnp.stack([kd[0], kd[-1]]).reshape(1, 2)
+                st = pallas_block(seed2, st)
+            else:
+                # Per-event RNG dispatch: XLA keeps each (3, L) draw
+                # VMEM-resident (a single (K, 3, L) block draw was measured
+                # 9% slower — the buffer spills to HBM and every event
+                # re-reads it).
+                for j in range(K):
+                    u = jax.random.uniform(jax.random.fold_in(key, kb * K + j),
+                                           (3, L), dtype=jnp.float32)
+                    st = fast_event(u, st)
             return kb + 1, launched, st, columns
 
         def cond(carry):

@@ -219,10 +219,12 @@ def rotate_direction(ux, uy, uz, cos_scat, u_azimuth):
     nx = sin_scat * (ux * uz * cos_chi - uy * sin_chi) * inv_denom + ux * cos_scat
     ny = sin_scat * (uy * uz * cos_chi + ux * sin_chi) * inv_denom + uy * cos_scat
     nz = -sin_scat * cos_chi * denom + uz * cos_scat
-    # Vertical incidence limit: rotate about z directly.
+    # Vertical incidence limit: rotate about z directly.  (where-based sign:
+    # the branch is only selected at |uz| ~ 1, and it lowers on Mosaic.)
+    sgn_z = jnp.where(uz >= 0.0, 1.0, -1.0)
     pol_x = sin_scat * cos_chi
-    pol_y = jnp.sign(uz) * sin_scat * sin_chi
-    pol_z = jnp.sign(uz) * cos_scat
+    pol_y = sgn_z * sin_scat * sin_chi
+    pol_z = sgn_z * cos_scat
     nx = jnp.where(near_pole, pol_x, nx)
     ny = jnp.where(near_pole, pol_y, ny)
     nz = jnp.where(near_pole, pol_z, nz)

@@ -245,3 +245,25 @@ def test_step_factor_lookup():
     f = StepFactor((1.0, 2.5), (10.0, 20.0, 30.0))
     pos = np.array([0.5, 1.0, 2.0, 2.5, 3.0], np.float32)
     np.testing.assert_allclose(np.asarray(f(pos)), [10, 20, 20, 30, 30])
+
+
+def test_pallas_event_block_matches_xla_fastpath():
+    """The Mosaic event-block kernel (interpret mode off-TPU) reproduces the
+    XLA fastpath statistically: same physics code (fast_event), different
+    RNG stream (TPU hardware PRNG vs threefry)."""
+    n = 1 << 13
+    lanes = 1 << 12  # exercises refill; multiple of 1024 (pallas tile rows)
+    src = PhotonSource.directional(0.5, 0.0)
+    xla = _step_cloud(FAST_CFG)
+    pal = _step_cloud(IntegratorConfig(use_ray_tracing=False, max_events=500,
+                                       compute_volume_absorption=False,
+                                       majorant_block_size=16,
+                                       use_pallas_fastpath=True))
+    rx = xla.batch_fn(src, n, n_lanes=lanes)(jax.random.PRNGKey(5))
+    rp = pal.batch_fn(src, n, n_lanes=lanes)(jax.random.PRNGKey(6))
+    sigma = float(np.sqrt(2 * 0.58 * 0.42 / n))
+    assert float(rp.mean_flux_up) == pytest.approx(float(rx.mean_flux_up),
+                                                   abs=4 * sigma)
+    # Conservative cloud over a black surface: energy closes exactly.
+    assert float(rp.mean_flux_up + rp.mean_flux_down) == pytest.approx(1.0, abs=1e-5)
+    assert int(rp.n_bad) == 0
