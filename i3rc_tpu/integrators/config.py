@@ -80,7 +80,12 @@ class IntegratorConfig:
     # different RNG event stream.  fastpath_unroll = events per tally/refill
     # block (the deferred-tally period K).
     use_fastpath: bool = True
-    fastpath_unroll: int = 8
+    fastpath_unroll: int = 16
+    # Segment-march depth: crossings consumed per event before/until the
+    # collision.  >1 pays only in crossing-dominated media; on the I3RC
+    # step cloud collisions dominate (the tau=18 half), so every extra
+    # substep is wasted where-lane work — measured slower.  Default 1.
+    fastpath_march: int = 1
     # Pallas (Mosaic) event-block kernel for the fastpath: runs K = unroll
     # events per HBM round-trip with the whole wavefront state VMEM-resident
     # (ops-level analog of the XLA fastpath; same physics, different RNG

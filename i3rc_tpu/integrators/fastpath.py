@@ -337,7 +337,8 @@ def hg_phase(g: float, cos_theta):
 
 
 def _build_pallas_block(fast_event, track_y: bool, L: int, K: int,
-                        interpret: bool = False):
+                        interpret: bool = False, blk_rows: int | None = None,
+                        vmem_mb: int | None = None):
     """Mosaic kernel running K fast_event steps with VMEM-resident state.
 
     The wavefront state (13 per-lane arrays) is tiled (rows, 128) and
@@ -355,15 +356,15 @@ def _build_pallas_block(fast_event, track_y: bool, L: int, K: int,
     from jax.experimental.pallas import tpu as pltpu
 
     R = L // 128
-    BLK = min(R, 256)
+    BLK = min(R, blk_rows or 256)
     while R % BLK or BLK % 8:
         BLK -= 8
     n_grid = R // BLK
 
     f32, i32 = jnp.float32, jnp.int32
     fields = ["alive", "x"] + (["y"] if track_y else []) + [
-        "z", "ux", "uy", "uz", "tau", "orders", "pk", "pc", "bad", "evct"]
-    int_fields = {"alive", "orders", "pk", "pc", "bad", "evct"}
+        "z", "ux", "uy", "uz", "tau", "orders", "pk", "bad", "evct"]
+    int_fields = {"alive", "orders", "pk", "bad", "evct"}
     n_state = len(fields)
 
     def _to_unit(bits):
@@ -406,13 +407,13 @@ def _build_pallas_block(fast_event, track_y: bool, L: int, K: int,
         v = {name: ref[...] for name, ref in zip(fields, ins)}
         st = (v["alive"] != 0, v["x"], v["y"] if track_y else f32(0.0),
               v["z"], v["ux"], v["uy"], v["uz"], v["tau"], v["orders"],
-              v["pk"], v["pc"], v["bad"], v["evct"], f32(0.0))
+              v["pk"], v["bad"], v["evct"], f32(0.0))
         for j in range(K):
             st = fast_event((draw(3 * j), draw(3 * j + 1), draw(3 * j + 2)), st)
-        (alive, x, y, z, ux, uy, uz, tau, orders, pk, pc, bad, evct, _) = st
+        (alive, x, y, z, ux, uy, uz, tau, orders, pk, bad, evct, _) = st
         new = {"alive": alive.astype(i32), "x": x, "z": z, "ux": ux,
                "uy": uy, "uz": uz, "tau": tau, "orders": orders,
-               "pk": pk, "pc": pc, "bad": bad, "evct": evct}
+               "pk": pk, "bad": bad, "evct": evct}
         if track_y:
             new["y"] = y
         for name, ref in zip(fields, outs):
@@ -430,21 +431,23 @@ def _build_pallas_block(fast_event, track_y: bool, L: int, K: int,
         # Off-TPU (tests): the TPU-semantics interpreter, which emulates the
         # Mosaic primitives (hardware PRNG included), unlike interpret=True.
         interpret=pltpu.InterpretParams() if interpret else False,
+        compiler_params=(pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_mb * 1024 * 1024) if vmem_mb else None),
     )
 
     def block_fn(seed2, st):
-        (alive, x, y, z, ux, uy, uz, tau, orders, pk, pc, bad, evct,
+        (alive, x, y, z, ux, uy, uz, tau, orders, pk, bad, evct,
          acc_int) = st
         args = {"alive": alive.astype(i32), "x": x, "z": z, "ux": ux,
                 "uy": uy, "uz": uz, "tau": tau, "orders": orders, "pk": pk,
-                "pc": pc, "bad": bad, "evct": evct}
+                "bad": bad, "evct": evct}
         if track_y:
             args["y"] = y
         outs = call(seed2, *[args[n].reshape(R, 128) for n in fields])
         new = {n: o.reshape(L) for n, o in zip(fields, outs)}
         return (new["alive"] != 0, new["x"], new["y"] if track_y else y,
                 new["z"], new["ux"], new["uy"], new["uz"], new["tau"],
-                new["orders"], new["pk"], new["pc"], new["bad"],
+                new["orders"], new["pk"], new["bad"],
                 new["evct"], acc_int)
 
     return block_fn
@@ -558,103 +561,113 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
                 py = jnp.where(done, py, npy)
         return tau, col, done & live
 
+    # Segment-march depth: one event consumes the free path through up to
+    # MARCH segment crossings before (or until) the collision, so the event
+    # count per photon approaches the collision count and the expensive
+    # per-event fixed costs (RNG draws, exponential deviate, scattering
+    # rotation, counters) amortize over several crossings.  Column mode
+    # keeps MARCH = 1: its per-substep one-hot column read dominates.
+    MARCH = 1 if column_mode else max(1, int(getattr(config, "fastpath_march", 4)))
+
     def fast_event(u, st):
-        (alive, x, y, z, ux, uy, uz, tau_rem, orders, pk, pc, bad, evct,
+        (alive, x, y, z, ux, uy, uz, tau_rem, orders, pk, bad, evct,
          acc_int) = st
         tau_rem = jnp.where(tau_rem > 0.0, tau_rem, exponential_deviate(u[0]))
 
         # Exact local extinction (constant within the current segment box)
         # and distance to the nearest segment face in the travel direction.
-        # One "event" = one segment crossing OR one (always-physical)
-        # collision; the segment structure IS the transport grid, so there
-        # are no null collisions and no acceptance test.
+        # The segment structure IS the transport grid, so every tentative
+        # collision is physical — no null collisions, no acceptance test.
         up_x = ux >= 0.0
         up_z = uz >= 0.0
-        if track_y:
-            up_y = uy >= 0.0
-        if column_mode:
-            # One factored one-hot read per event fetches the lane's column
-            # [v, z_base, z_top]; transport within the column is exact
-            # (homogeneous layer + clear air), faces are the fine x/y grid
-            # and the column's own z window.
-            ix_c = jnp.clip(((x - x0) * inv_dx).astype(jnp.int32), 0, n_x - 1)
-            iy_c = jnp.clip(((y - y0) * inv_dy).astype(jnp.int32), 0, n_y - 1)
-            cdat = read_rows(column_table, ix_c * n_y + iy_c)
-            vcol, zb, zt = cdat[:, 0], cdat[:, 1], cdat[:, 2]
-            ext = jnp.where((z >= zb) & (z < zt), vcol, 0.0)
-            face_x = x0 + (jnp.floor((x - x0) * inv_dx)
-                           + up_x.astype(jnp.float32)) * geom.dx
-            face_y = y0 + (jnp.floor((y - y0) * inv_dy)
-                           + (uy >= 0.0).astype(jnp.float32)) * geom.dy
-            face_z = jnp.where(up_z,
-                               jnp.where(z < zb, zb,
-                                         jnp.where(z < zt, zt, jnp.float32(z_max))),
-                               jnp.where(z > zt, zt,
-                                         jnp.where(z > zb, zb, jnp.float32(z0))))
-        else:
-            ext = fx(x) * fz(z)
-            if track_y:
-                ext = ext * fy(y)
-            face_x = fx.next_face(x, up_x, x0, x_max)
-            face_z = fz.next_face(z, up_z, z0, z_max)
-            if track_y:
-                face_y = fy.next_face(y, up_y, y0, y_max)
-        sx = jnp.where(jnp.abs(ux) >= 2e-30, (face_x - x) / ux, _HUGE)
-        sz = jnp.where(jnp.abs(uz) >= 2e-30, (face_z - z) / uz, _HUGE)
-        s_bnd = jnp.minimum(sx, sz)
-        if track_y:
-            sy = jnp.where(jnp.abs(uy) >= 2e-30, (face_y - y) / uy, _HUGE)
-            s_bnd = jnp.minimum(s_bnd, sy)
-        s_bnd = jnp.maximum(s_bnd, 0.0)
-        s_col = jnp.where(ext > 0.0, tau_rem / jnp.maximum(ext, TINY), _HUGE)
-
-        collide = alive & (s_col <= s_bnd)
-        cross = alive & ~collide
-        adv = jnp.minimum(s_col, s_bnd)
-        nxp = x + ux * adv
-        nzp = z + uz * adv
-        # Push the crossed coordinate(s) strictly past the face so the next
-        # event's segment lookups land in the new segment (ties push several
-        # axes: harmless).
-        crossed_x = cross & (sx <= s_bnd)
-        crossed_z = cross & (sz <= s_bnd)
         sign_x = jnp.where(up_x, nudge_x, -nudge_x)
         sign_z = jnp.where(up_z, nudge_z, -nudge_z)
-        nxp = jnp.where(crossed_x, face_x + sign_x, nxp)
-        nzp = jnp.where(crossed_z, face_z + sign_z, nzp)
-        nxp = wrap_fast(nxp, x0, x_max)
         if track_y:
-            nyp = y + uy * adv
-            crossed_y = cross & (sy <= s_bnd)
-            nyp = jnp.where(crossed_y, face_y + jnp.where(up_y, nudge_y, -nudge_y), nyp)
-            nyp = wrap_fast(nyp, y0, y_max)
+            up_y = uy >= 0.0
+            sign_y = jnp.where(up_y, nudge_y, -nudge_y)
+        moving = alive
+        collided = jnp.zeros_like(alive)
+        for _ in range(MARCH):
+            if column_mode:
+                # One factored one-hot read per event fetches the lane's
+                # column [v, z_base, z_top]; transport within the column is
+                # exact (homogeneous layer + clear air), faces are the fine
+                # x/y grid and the column's own z window.
+                ix_c = jnp.clip(((x - x0) * inv_dx).astype(jnp.int32), 0, n_x - 1)
+                iy_c = jnp.clip(((y - y0) * inv_dy).astype(jnp.int32), 0, n_y - 1)
+                cdat = read_rows(column_table, ix_c * n_y + iy_c)
+                vcol, zb, zt = cdat[:, 0], cdat[:, 1], cdat[:, 2]
+                ext = jnp.where((z >= zb) & (z < zt), vcol, 0.0)
+                face_x = x0 + (jnp.floor((x - x0) * inv_dx)
+                               + up_x.astype(jnp.float32)) * geom.dx
+                face_y = y0 + (jnp.floor((y - y0) * inv_dy)
+                               + (uy >= 0.0).astype(jnp.float32)) * geom.dy
+                face_z = jnp.where(
+                    up_z,
+                    jnp.where(z < zb, zb,
+                              jnp.where(z < zt, zt, jnp.float32(z_max))),
+                    jnp.where(z > zt, zt,
+                              jnp.where(z > zb, zb, jnp.float32(z0))))
+            else:
+                ext = fx(x) * fz(z)
+                if track_y:
+                    ext = ext * fy(y)
+                face_x = fx.next_face(x, up_x, x0, x_max)
+                face_z = fz.next_face(z, up_z, z0, z_max)
+                if track_y:
+                    face_y = fy.next_face(y, up_y, y0, y_max)
+            sx = jnp.where(jnp.abs(ux) >= 2e-30, (face_x - x) / ux, _HUGE)
+            sz = jnp.where(jnp.abs(uz) >= 2e-30, (face_z - z) / uz, _HUGE)
+            s_bnd = jnp.minimum(sx, sz)
+            if track_y:
+                sy = jnp.where(jnp.abs(uy) >= 2e-30, (face_y - y) / uy, _HUGE)
+                s_bnd = jnp.minimum(s_bnd, sy)
+            s_bnd = jnp.maximum(s_bnd, 0.0)
+            s_col = jnp.where(ext > 0.0, tau_rem / jnp.maximum(ext, TINY), _HUGE)
 
-        exit_top = cross & (nzp >= z_max)
-        exit_bot = cross & ~exit_top & (nzp <= z0)
-        exited = exit_top | exit_bot
-        # Exit tally column: for exiting lanes adv == sz (the domain z face
-        # attained the min), so the committed, wrapped position IS the
-        # boundary crossing point.
-        ix = jnp.clip(((nxp - x0) * inv_dx).astype(jnp.int32), 0, n_x - 1)
-        if track_y and n_y > 1:
-            iy = jnp.clip(((nyp - y0) * inv_dy).astype(jnp.int32), 0, n_y - 1)
-            col = ix * n_y + iy
-        else:
-            col = ix
-        pk = jnp.where(exit_top, 1, jnp.where(exit_bot, 2, pk))
-        pc = jnp.where(exited, col, pc)
+            collide_m = moving & (s_col <= s_bnd)
+            cross = moving & ~collide_m
+            adv = jnp.minimum(s_col, s_bnd)
+            nxp = x + ux * adv
+            nzp = z + uz * adv
+            # Push the crossed coordinate(s) strictly past the face so the
+            # next lookup lands in the new segment (ties push several axes:
+            # harmless).
+            nxp = jnp.where(cross & (sx <= s_bnd), face_x + sign_x, nxp)
+            nzp = jnp.where(cross & (sz <= s_bnd), face_z + sign_z, nzp)
+            nxp = wrap_fast(nxp, x0, x_max)
+            if track_y:
+                nyp = y + uy * adv
+                nyp = jnp.where(cross & (sy <= s_bnd), face_y + sign_y, nyp)
+                nyp = wrap_fast(nyp, y0, y_max)
+
+            exit_top = cross & (nzp >= z_max)
+            exit_bot = cross & ~exit_top & (nzp <= z0)
+            pk = jnp.where(exit_top, 1, jnp.where(exit_bot, 2, pk))
+            tau_rem = jnp.where(cross, tau_rem - s_bnd * ext,
+                                jnp.where(collide_m, 0.0, tau_rem))
+            # Commit positions for every lane that moved: collided lanes
+            # stop AT the collision, exiting lanes AT the (wrapped) boundary
+            # point — the flush derives the tally column from the frozen
+            # position, so no per-event column index is computed here.
+            x = jnp.where(moving, nxp, x)
+            z = jnp.where(moving, nzp, z)
+            if track_y:
+                y = jnp.where(moving, nyp, y)
+            collided = collided | collide_m
+            moving = cross & ~exit_top & ~exit_bot
 
         # Local-estimate radiance: every physical collision contributes
         # P(photon->detector)/(4 pi |mu_d|) x exp(-tau to the boundary) at
         # the shadow ray's exit column (computeIntensityContribution,
         # monteCarloRadiativeTransfer.f95:1419-1611; weight == 1 here).
         if D:
-            pos_y = nyp if track_y else None
+            pos_y = y if track_y else None
             for d, (dxd, dyd, dzd, amu) in enumerate(plan.detectors):
                 proj = jnp.clip(ux * dxd + uy * dyd + uz * dzd, -1.0, 1.0)
                 norm_pf = hg_phase(plan.hg_g, proj) * jnp.float32(
                     1.0 / (4.0 * np.pi * amu))
-                tau_d, col_d, ok = shadow_trace(d, collide, nxp, pos_y, nzp)
+                tau_d, col_d, ok = shadow_trace(d, collided, x, pos_y, z)
                 contrib = jnp.where(ok, norm_pf * jnp.exp(-tau_d), 0.0)
                 vals = jnp.stack([contrib if j == d else jnp.zeros_like(contrib)
                                   for j in range(D)], axis=1)
@@ -662,24 +675,18 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
 
         cos_scat = hg_cosine(plan.hg_g, u[1])
         nux, nuy, nuz = rotate_direction(ux, uy, uz, cos_scat, u[2])
+        ux = jnp.where(collided, nux, ux)
+        uy = jnp.where(collided, nuy, uy)
+        uz = jnp.where(collided, nuz, uz)
 
-        orders = orders + collide.astype(jnp.int32)
+        orders = orders + collided.astype(jnp.int32)
         over = alive & (orders >= max_events)
         # Per-lane counters, reduced once per batch: a cross-lane sum here
         # would break the event step's single-fusion structure.
         bad = bad + over.astype(jnp.int32)
         evct = evct + alive.astype(jnp.int32)
-
-        alive = alive & ~exited & ~over
-        x = jnp.where(alive, nxp, x)
-        z = jnp.where(alive, nzp, z)
-        if track_y:
-            y = jnp.where(alive, nyp, y)
-        ux = jnp.where(collide, nux, ux)
-        uy = jnp.where(collide, nuy, uy)
-        uz = jnp.where(collide, nuz, uz)
-        tau_rem = jnp.where(collide, 0.0, tau_rem - s_bnd * ext)
-        return (alive, x, y, z, ux, uy, uz, tau_rem, orders, pk, pc, bad, evct,
+        alive = alive & (pk == 0) & ~over
+        return (alive, x, y, z, ux, uy, uz, tau_rem, orders, pk, bad, evct,
                 acc_int)
 
     # ------------------------------------------------------------------
@@ -699,14 +706,31 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
     use_pallas = (want_pallas and D == 0 and not column_mode
                   and L % 1024 == 0)
     if use_pallas:
+        import os
         pallas_block = _build_pallas_block(
             fast_event, track_y, L, K,
-            interpret=jax.default_backend() != "tpu")
+            interpret=jax.default_backend() != "tpu",
+            # Tuning knobs (measured optimum baked in as defaults; the env
+            # vars exist for perf experiments on new hardware).
+            blk_rows=int(os.environ.get("I3RC_PALLAS_BLK", "0")) or None,
+            # Mosaic's default 16 MB scoped-VMEM cap rejects the K=16-32
+            # unrolled event block (per-event temporaries stay live across
+            # the unroll); v5e has headroom — 64 MB measured safe and fast.
+            vmem_mb=int(os.environ.get("I3RC_PALLAS_VMEM_MB", "0")) or 64)
 
-    def flush(columns, pk, pc):
+    def flush(columns, pk, x, y):
+        # The tally column comes from the frozen exit position (exits commit
+        # the wrapped boundary point into x/y), so the event step never
+        # computes a per-event column index.
+        ix = jnp.clip(((x - x0) * inv_dx).astype(jnp.int32), 0, n_x - 1)
+        if track_y and n_y > 1:
+            iy = jnp.clip(((y - y0) * inv_dy).astype(jnp.int32), 0, n_y - 1)
+            col = ix * n_y + iy
+        else:
+            col = ix
         vals = jnp.stack([(pk == 1).astype(jnp.float32),
                           (pk == 2).astype(jnp.float32)], axis=1)
-        return tally_multi(columns, pc, vals), jnp.zeros_like(pk)
+        return tally_multi(columns, col, vals), jnp.zeros_like(pk)
 
     def trace(key, batch, source=None, optics_override=None):
         assert optics_override is None, "fastpath bakes optics statically"
@@ -722,11 +746,14 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
 
         def body(carry):
             kb, launched, st, columns = carry
-            (alive, x, y, z, ux, uy, uz, tau_rem, orders, pk, pc,
+            (alive, x, y, z, ux, uy, uz, tau_rem, orders, pk,
              bad, evct, acc_int) = st
             # Flush last block's deaths, then refill those lanes (FIFO).
-            columns, pk = flush(columns, pk, pc)
+            columns, pk = flush(columns, pk, x, y)
             if n_photons > L:
+                # (Measured: gating this behind lax.cond(launched < n) to
+                # skip the drain-phase cumsum COSTS ~15% — the cond's tensor
+                # operand copies outweigh the saved work.  Keep it inline.)
                 dead = ~alive
                 dead_i = dead.astype(jnp.int32)
                 new_id = launched + jnp.cumsum(dead_i) - dead_i
@@ -743,7 +770,7 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
                 orders = jnp.where(refill, 0, orders)
                 launched = launched + jnp.sum(refill.astype(jnp.int32))
                 alive = alive | refill
-            st = (alive, x, y, z, ux, uy, uz, tau_rem, orders, pk, pc,
+            st = (alive, x, y, z, ux, uy, uz, tau_rem, orders, pk,
                   bad, evct, acc_int)
             if use_pallas:
                 kd = jax.lax.bitcast_convert_type(
@@ -768,17 +795,17 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
 
         acc_int0 = jnp.zeros((n_cols, D) if D else (1, 1), jnp.float32)
         st = (alive, x, y, z, ux, uy, uz, jnp.zeros(L, jnp.float32),
-              zeros_i, zeros_i, zeros_i, zeros_i, zeros_i, acc_int0)
+              zeros_i, zeros_i, zeros_i, zeros_i, acc_int0)
         kb, launched, st, columns = jax.lax.while_loop(
             cond, body, (jnp.int32(0), launched, st, columns))
-        columns, _ = flush(columns, st[9], st[10])
+        columns, _ = flush(columns, st[9], st[1], st[2])
         # Lanes alive at the block cap vanish with their weight: count bad.
-        n_bad = jnp.sum(st[11] + st[0].astype(jnp.int32))
+        n_bad = jnp.sum(st[10] + st[0].astype(jnp.int32))
 
         zero_cols = jnp.zeros(n_cols, jnp.float32)
         zero0 = jnp.zeros(0, jnp.float32)
         if D:
-            intensity = st[13].reshape(n_cols * D)
+            intensity = st[12].reshape(n_cols * D)
             # Component slot 0 is the surface (black here: identically 0);
             # slot 1 the single scattering component.
             by_comp = jnp.stack([jnp.zeros_like(intensity), intensity],
@@ -793,6 +820,6 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
             intensity_excess=jnp.zeros(D * 2 if D else 0, jnp.float32),
             n_photons=jnp.int32(n_photons), n_bad=n_bad,
             n_iterations=kb * K,
-            n_lane_events=jnp.sum(st[12]).astype(jnp.float32))
+            n_lane_events=jnp.sum(st[11]).astype(jnp.float32))
 
     return trace

@@ -1,0 +1,149 @@
+"""External validation against an independent deterministic oracle.
+
+SURVEY.md section 4 calls for golden comparisons against the Fortran
+reference and the published I3RC Phase-1 intercomparison tables.  Neither is
+reachable in this environment — there is no Fortran compiler and no network
+egress (verified; see BENCH_CASES.md) — so this suite supplies the strongest
+available substitutes:
+
+1. A discrete-ordinates slab solver (tests/disort_oracle.py): a completely
+   independent deterministic method (eigenmode solution of the RTE, no
+   Monte Carlo, no shared code), converged to ~1e-7 in flux.  This is the
+   reference's own verification methodology — planeParallel exists to check
+   the MC against "fluxes ... computed using other methods"
+   (Example-Drivers/planeParallel.f95:12-16).  Every transport kernel
+   (fastpath, Pallas fastpath, general max cross-section, general ray
+   tracing) is gated against it at 3 sigma.
+2. Frozen I3RC-case anchors: high-precision values recorded on TPU at 2^24
+   photons AFTER the one-hot precision fix (commit 20aef97), cross-validated
+   in round 1 by an independent photon-serial scalar MC
+   (tests/reference_mc.py) and here by kernel-vs-kernel agreement.  They pin
+   the benchmark scenes against regression at 2 sigma of the test budget.
+
+The oracle itself is validated in-suite: Beer-Lambert to float64 precision,
+conservative energy closure, and quadrature convergence.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from i3rc_tpu.core.illumination import PhotonSource
+from i3rc_tpu.integrators.config import IntegratorConfig
+from i3rc_tpu.integrators.integrator import Integrator
+from i3rc_tpu.models.slab import make_slab_domain
+from i3rc_tpu.models.step_cloud import make_step_cloud
+
+from tests.disort_oracle import hg_slab_fluxes
+
+# ---------------------------------------------------------------------------
+# Oracle self-checks
+# ---------------------------------------------------------------------------
+
+def test_oracle_beer_lambert_exact():
+    r, t = hg_slab_fluxes(1.0, 1e-12, 0.85, 0.5)
+    assert r == pytest.approx(0.0, abs=1e-10)
+    assert t == pytest.approx(np.exp(-2.0), abs=1e-10)
+
+
+def test_oracle_energy_closure_conservative():
+    for tau, mu0 in [(1.0, 0.5), (18.0, 0.5), (18.0, 1.0)]:
+        r, t = hg_slab_fluxes(tau, 1.0, 0.85, mu0)
+        assert r + t == pytest.approx(1.0, abs=1e-6)
+
+
+def test_oracle_stream_convergence():
+    r32, t32 = hg_slab_fluxes(2.0, 0.99, 0.85, 0.5, n_streams=32)
+    r64, t64 = hg_slab_fluxes(2.0, 0.99, 0.85, 0.5, n_streams=64)
+    assert r32 == pytest.approx(r64, abs=2e-6)
+    assert t32 == pytest.approx(t64, abs=2e-6)
+
+
+# ---------------------------------------------------------------------------
+# Monte Carlo kernels vs the oracle (3 sigma of the photon budget)
+# ---------------------------------------------------------------------------
+
+def _slab_mc(tau, ssa, mu0, cfg, n, key=0, **kwargs):
+    integ = Integrator.create(make_slab_domain(tau, ssa), config=cfg, **kwargs)
+    res = integ.batch_fn(PhotonSource.directional(mu0, 0.0), n)(
+        jax.random.PRNGKey(key))
+    return res
+
+
+FAST = IntegratorConfig(use_ray_tracing=False, max_events=2000,
+                        compute_volume_absorption=False)
+GENERAL_MAXXS = IntegratorConfig(use_ray_tracing=False, max_events=2000,
+                                 compute_volume_absorption=False,
+                                 majorant_block_size=16, use_fastpath=False)
+GENERAL_RT = IntegratorConfig(use_ray_tracing=True, max_events=2000,
+                              compute_volume_absorption=False,
+                              use_fastpath=False)
+
+
+@pytest.mark.parametrize("tau,mu0,n,cfg_name", [
+    (1.0, 0.5, 1 << 18, "fast"),
+    (18.0, 0.5, 1 << 16, "fast"),
+    (1.0, 0.5, 1 << 16, "maxxs"),
+    (1.0, 0.5, 1 << 16, "rt"),
+])
+def test_conservative_slab_vs_oracle(tau, mu0, n, cfg_name):
+    cfg = {"fast": FAST, "maxxs": GENERAL_MAXXS, "rt": GENERAL_RT}[cfg_name]
+    r_ex, t_ex = hg_slab_fluxes(tau, 1.0, 0.85, mu0, n_legendre=64)
+    res = _slab_mc(tau, 1.0, mu0, cfg, n)
+    sigma = np.sqrt(r_ex * (1.0 - r_ex) / n)
+    assert float(res.mean_flux_up) == pytest.approx(r_ex, abs=3 * sigma)
+    assert float(res.mean_flux_down) == pytest.approx(t_ex, abs=3 * sigma)
+
+
+@pytest.mark.parametrize("tau,ssa,mu0,cfg_name", [
+    (2.0, 0.99, 0.5, "maxxs"),
+    (1.0, 0.9, 1.0, "rt"),
+    (2.0, 0.99, 0.5, "fast_general"),  # fastpath declines ssa<1: general path
+])
+def test_absorbing_slab_vs_oracle(tau, ssa, mu0, cfg_name):
+    n = 1 << 16
+    cfg = {"maxxs": GENERAL_MAXXS, "rt": GENERAL_RT,
+           "fast_general": GENERAL_MAXXS}[cfg_name]
+    r_ex, t_ex = hg_slab_fluxes(tau, ssa, 0.85, mu0, n_legendre=64)
+    res = _slab_mc(tau, ssa, mu0, cfg, n, key=3)
+    sigma = np.sqrt(max(r_ex * (1 - r_ex), t_ex * (1 - t_ex)) / n)
+    assert float(res.mean_flux_up) == pytest.approx(r_ex, abs=3 * sigma)
+    assert float(res.mean_flux_down) == pytest.approx(t_ex, abs=3 * sigma)
+    # Absorbed fraction closes the budget against the oracle too.
+    a_ex = 1.0 - r_ex - t_ex
+    assert float(res.mean_flux_absorbed) == pytest.approx(a_ex, abs=3 * sigma)
+
+
+def test_pallas_fastpath_slab_vs_oracle():
+    """The Mosaic event-block kernel against the deterministic oracle."""
+    n = 1 << 16
+    cfg = IntegratorConfig(use_ray_tracing=False, max_events=2000,
+                           compute_volume_absorption=False,
+                           use_pallas_fastpath=True)
+    r_ex, t_ex = hg_slab_fluxes(1.0, 1.0, 0.85, 0.5, n_legendre=64)
+    res = _slab_mc(1.0, 1.0, 0.5, cfg, n, key=5)
+    sigma = np.sqrt(r_ex * (1.0 - r_ex) / n)
+    assert float(res.mean_flux_up) == pytest.approx(r_ex, abs=3 * sigma)
+
+
+# ---------------------------------------------------------------------------
+# Frozen I3RC benchmark anchors (regression gates at the test photon budget)
+# ---------------------------------------------------------------------------
+
+# Recorded on TPU v5e at 2^24 photons (sigma ~ 1.2e-4) post commit 20aef97,
+# all three kernels agreeing within 1.1 sigma of each other and of the
+# independent scalar MC (tests/test_integrator.py).  NOT published I3RC
+# consensus numbers — those are unreachable offline; see module docstring.
+I3RC_STEP_CLOUD_FUP = 0.58054   # case 1, non-absorbing, mu0=0.5, phi0=0
+
+
+def test_step_cloud_anchor():
+    n = 1 << 17
+    integ = Integrator.create(make_step_cloud(1.0), config=FAST)
+    res = integ.batch_fn(PhotonSource.directional(0.5, 0.0), n)(
+        jax.random.PRNGKey(9))
+    sigma = np.sqrt(I3RC_STEP_CLOUD_FUP * (1 - I3RC_STEP_CLOUD_FUP) / n)
+    assert float(res.mean_flux_up) == pytest.approx(I3RC_STEP_CLOUD_FUP,
+                                                    abs=3 * sigma)
+    assert float(res.mean_flux_up + res.mean_flux_down) == pytest.approx(
+        1.0, abs=1e-5)

@@ -79,3 +79,74 @@ def test_solar_flux_scaling(slab_integrator):
     scaled = stats.scaled(2.0)
     np.testing.assert_allclose(np.asarray(scaled.mean.flux_up),
                                2.0 * np.asarray(stats.mean.flux_up))
+
+
+def test_two_process_distributed(tmp_path):
+    """Real multi-process distribution: 2 jax.distributed CPU processes x 2
+    devices each, cross-process psum, MasterProc-only official output.
+
+    The reference analog is an MPI job over multipleProcesses_mpi.f95:26-55;
+    here each subprocess is a host in the jax.distributed sense, and the
+    moment reduction crosses the process boundary.
+    """
+    import json
+    import os
+    import socket
+    import subprocess
+    import sys as _sys
+
+    # Pick a free coordinator port.
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coordinator = f"127.0.0.1:{port}"
+    worker = os.path.join(os.path.dirname(__file__), "mp_worker.py")
+    env = {k: v for k, v in os.environ.items()
+           if not k.startswith(("JAX_", "XLA_"))}
+
+    procs = [subprocess.Popen(
+        [_sys.executable, worker, coordinator, "2", str(pid), str(tmp_path)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for pid in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
+
+    views = []
+    for pid in range(2):
+        with open(tmp_path / f"view_{pid}.json") as f:
+            views.append(json.load(f))
+    # psum is an allreduce: both processes hold the full reduced moments.
+    np.testing.assert_array_equal(views[0]["mean_flux_up"],
+                                  views[1]["mean_flux_up"])
+    assert views[0]["is_master"] and not views[1]["is_master"]
+    assert views[0]["n_global_devices"] == 4
+    # Only the master wrote the official result (monteCarloDriver.f95:382).
+    assert (tmp_path / "result.json").exists()
+
+    # Same batches in-process on the 8-device test mesh: the counter-based
+    # RNG makes results layout-independent (stronger than the reference's
+    # per-rank MT19937 streams, which only promise independence).
+    from i3rc_tpu.integrators.config import IntegratorConfig
+    sys_path_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    import sys
+    if sys_path_root not in sys.path:
+        sys.path.insert(0, sys_path_root)
+    from __graft_entry__ import _step_cloud_integrator
+
+    integ = _step_cloud_integrator(
+        n_col=8, n_lay=8,
+        config=IntegratorConfig(use_ray_tracing=False, max_events=200))
+    local = run_batches(integ, PhotonSource.directional(0.5, 0.0),
+                        n_photons_per_batch=512, n_batches=8, seed=11)
+    np.testing.assert_allclose(np.asarray(local.mean.flux_up, np.float64),
+                               np.asarray(views[0]["mean_flux_up"]),
+                               rtol=1e-6)
