@@ -149,11 +149,24 @@ def run_from_namelist(namelist_path: str, quiet: bool = False) -> dict:
 
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
+    profile_dir = None
+    if "--profile" in argv:
+        i = argv.index("--profile")
+        profile_dir = argv[i + 1] if i + 1 < len(argv) else "profile_trace"
+        argv = argv[:i] + argv[i + 2 if i + 1 < len(argv) else i + 1:]
     if len(argv) != 1:
-        print("usage: python -m i3rc_tpu.drivers.plane_parallel <namelist.nml>",
-              file=sys.stderr)
+        print("usage: python -m i3rc_tpu.drivers.plane_parallel "
+              "[--profile DIR] <namelist.nml>", file=sys.stderr)
         return 1
-    run_from_namelist(argv[0])
+    if profile_dir:
+        import jax
+
+        from i3rc_tpu.utils.profiling import profile_report
+        with jax.profiler.trace(profile_dir):
+            run_from_namelist(argv[0])
+        print(profile_report(profile_dir), file=sys.stderr)
+    else:
+        run_from_namelist(argv[0])
     return 0
 
 
