@@ -123,7 +123,9 @@ def test_single_scattering_radiance():
             else:
                 expected = p / (4 * np.pi) * tau / mu0**2 * np.exp(-tau / mu0)
         got = float(res.mean_intensity[i])
-        assert got == pytest.approx(expected, rel=0.03), (i, got, expected)
+        # Measured residual at 2^18 photons: +0.22..0.28% (forward-table
+        # resolution); 1% bounds it with margin for the MC noise at N.
+        assert got == pytest.approx(expected, rel=0.01), (i, got, expected)
         # All scattering orders can only add radiance.
         assert float(res_full.mean_intensity[i]) > got * 0.99
 
@@ -174,7 +176,10 @@ def test_wavefront_matches_scalar_oracle_step_cloud():
                              (np.mean(f_dn), ref_dn, "Fdn"),
                              (np.mean(f_ab), ref_ab, "Fabs")):
         sigma = np.sqrt(max(ref * (1 - min(ref, 0.99)), 0.01) / n_ref)
-        assert abs(ours - ref) < 3.5 * sigma, (label, ours, ref, sigma)
+        # 3 sigma of the scalar oracle's budget; the 2-sigma-class precision
+        # gate lives in tests/test_external_validation.py, where the
+        # deterministic discrete-ordinates oracle has no MC noise at all.
+        assert abs(ours - ref) < 3.0 * sigma, (label, ours, ref, sigma)
 
 
 def test_batch_to_batch_variance_sane():
