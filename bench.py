@@ -120,7 +120,6 @@ def run_spectral(jax, scale):
     from i3rc_tpu.core.illumination import PhotonSource
     from i3rc_tpu.core.k_distribution import KDistribution
     from i3rc_tpu.integrators.config import IntegratorConfig
-    from i3rc_tpu.integrators.spectral import run_broadband
     from i3rc_tpu.models.step_cloud import make_step_cloud
 
     n_per_batch = (1 << 19) // scale
@@ -132,14 +131,23 @@ def run_spectral(jax, scale):
         wavelength_limits=(2.6, 2.8), spectral_fraction=1.0)]
     src = PhotonSource.directional(0.5, 0.0)
     cfg = IntegratorConfig(use_ray_tracing=False, max_events=500,
-                           compute_volume_absorption=False)
-    # One warm loop (compile), then a timed loop.
-    run_broadband(dom, kd, src, n_per_batch, n_batches, config=cfg, seed=5)
+                           compute_volume_absorption=False,
+                           majorant_block_size=16)
+    # Steady-state spectral loop: the band integrator compiles once and the
+    # k-point optics ride through as arguments (run_batches caching), so the
+    # timed pass measures transport, not tracing.
+    from i3rc_tpu.integrators.integrator import Integrator
+    from i3rc_tpu.integrators.spectral import domain_with_gas_component, run_band
+    z0 = np.asarray(dom.z_edges)
+    dom_gas = domain_with_gas_component(
+        dom, kd[0].absorption_profiles_on(z0)[:, 0])
+    integ = Integrator.create(dom_gas, config=cfg)
+    run_band(integ, dom, kd[0], src, n_per_batch, n_batches, seed=5)  # warm
     t0 = time.perf_counter()
-    bb, _ = run_broadband(dom, kd, src, n_per_batch, n_batches, config=cfg, seed=6)
+    band = run_band(integ, dom, kd[0], src, n_per_batch, n_batches, seed=6)
     dt = time.perf_counter() - t0
     n_traced = n_per_batch * n_batches * 2  # 2 k-points per band
-    return n_traced / dt, bb
+    return n_traced / dt, band.mean
 
 
 def run_checks(jax, quick):

@@ -408,8 +408,12 @@ def _build_pallas_block(fast_event, track_y: bool, L: int, K: int,
         st = (v["alive"] != 0, v["x"], v["y"] if track_y else f32(0.0),
               v["z"], v["ux"], v["uy"], v["uz"], v["tau"], v["orders"],
               v["pk"], v["bad"], v["evct"], f32(0.0))
+        # Python-unrolled event loop.  (A lax.fori_loop body was tried to
+        # bound register liveness for K>=32; it hangs Mosaic compilation —
+        # the unrolled form with the raised VMEM cap is the working shape.)
         for j in range(K):
-            st = fast_event((draw(3 * j), draw(3 * j + 1), draw(3 * j + 2)), st)
+            st = fast_event((draw(3 * j), draw(3 * j + 1),
+                             draw(3 * j + 2)), st)
         (alive, x, y, z, ux, uy, uz, tau, orders, pk, bad, evct, _) = st
         new = {"alive": alive.astype(i32), "x": x, "z": z, "ux": ux,
                "uy": uy, "uz": uz, "tau": tau, "orders": orders,

@@ -121,47 +121,71 @@ def run_batches(integrator, source, n_photons_per_batch: int, n_batches: int,
 
     compiled = integrator.batch_fn(source, n_photons_per_batch, n_lanes=n_lanes)
 
-    def raw_fn(k):
-        # optics_override rides through the same executable (spectral loop).
-        return compiled(k) if optics_override is None else compiled(k, optics_override)
+    def make_batch_fn(override):
+        def raw_fn(k):
+            # optics_override rides through the same executable (spectral
+            # loop): same shapes, different values, no retrace.
+            return compiled(k) if override is None else compiled(k, override)
+        if derive is None:
+            return raw_fn
 
-    if derive is None:
-        batch_fn = raw_fn
-    else:
-        def batch_fn(k):
+        def derived_fn(k):
             res = raw_fn(k)
             return {"results": res, "derived": derive(res)}
+        return derived_fn
+
     # rng_impl="rbg" swaps the wide per-event draws to the TPU hardware
     # RngBitGenerator (see core/rng.batch_key); default stays threefry.
     base_key = (jax.random.PRNGKey(seed) if rng_impl is None
                 else jax.random.key(seed, impl=rng_impl))
+    template = jax.eval_shape(make_batch_fn(optics_override), base_key)
+    shapes = [l.shape for l in jax.tree.leaves(template)]
+    treedef = jax.tree.structure(template)
 
-    def worker(ids):  # ids: (per_dev,) this device's global batch indices
-        def body(carry, b):
-            res = batch_fn(jax.random.fold_in(base_key, b))
-            leaves = jax.tree.leaves(res)
-            s1 = [c + l.astype(jnp.float32) for c, l in zip(carry[0], leaves)]
-            s2 = [c + jnp.square(l.astype(jnp.float32)) for c, l in zip(carry[1], leaves)]
-            return (s1, s2), None
+    # The compiled scan wrapper is cached on the integrator: the base key,
+    # batch ids, and the optics override are ARGUMENTS, so reseeds, chunked
+    # dispatches (batch_offset), and the spectral k-loop all reuse one
+    # executable instead of recompiling per call.
+    cache = integrator.__dict__.setdefault("_run_batches_cache", {})
+    ov_key = (None if optics_override is None else
+              tuple((l.shape, str(l.dtype))
+                    for l in jax.tree.leaves(optics_override)))
+    mesh_key = (mesh.axis_names, tuple(d.id for d in mesh.devices.ravel()))
+    cache_key = (source, int(n_photons_per_batch), n_lanes, int(n_batches),
+                 mesh_key, None if derive is None else id(derive), rng_impl,
+                 ov_key)
+    if cache_key not in cache:
+        def worker(ids, key_arg, override):
+            # ids: (per_dev,) this device's global batch indices
+            batch_fn = make_batch_fn(override)
 
-        template = jax.eval_shape(batch_fn, base_key)
-        zeros = [jnp.zeros(l.shape, jnp.float32) for l in jax.tree.leaves(template)]
-        (s1, s2), _ = jax.lax.scan(body, (zeros, [z.copy() for z in zeros]), ids)
-        # sumAcrossProcesses analog — allreduce over the mesh axis.
-        s1 = [jax.lax.psum(a, "batch") for a in s1]
-        s2 = [jax.lax.psum(a, "batch") for a in s2]
-        return s1, s2
+            def body(carry, b):
+                res = batch_fn(jax.random.fold_in(key_arg, b))
+                leaves = jax.tree.leaves(res)
+                s1 = [c + l.astype(jnp.float32) for c, l in zip(carry[0], leaves)]
+                s2 = [c + jnp.square(l.astype(jnp.float32))
+                      for c, l in zip(carry[1], leaves)]
+                return (s1, s2), None
+
+            zeros = [jnp.zeros(s, jnp.float32) for s in shapes]
+            (s1, s2), _ = jax.lax.scan(body, (zeros, [z.copy() for z in zeros]),
+                                       ids)
+            # sumAcrossProcesses analog — allreduce over the mesh axis.
+            s1 = [jax.lax.psum(a, "batch") for a in s1]
+            s2 = [jax.lax.psum(a, "batch") for a in s2]
+            return s1, s2
+
+        # check_vma=False: the kernel's while_loop carries mix batch-varying
+        # photon state with replicated constants (initial z / status), which
+        # the varying-manual-axes checker rejects even though the program is
+        # correct.
+        shard = jax.shard_map(worker, mesh=mesh,
+                              in_specs=(P("batch"), P(), P()), out_specs=P(),
+                              check_vma=False)
+        cache[cache_key] = jax.jit(shard)
 
     ids = batch_offset + jnp.arange(n_batches, dtype=jnp.int32)
-    # check_vma=False: the kernel's while_loop carries mix batch-varying
-    # photon state with replicated constants (initial z / status), which the
-    # varying-manual-axes checker rejects even though the program is correct.
-    shard = jax.shard_map(worker, mesh=mesh, in_specs=P("batch"), out_specs=P(),
-                          check_vma=False)
-    s1, s2 = jax.jit(shard)(ids)
-
-    template = jax.eval_shape(batch_fn, base_key)
-    treedef = jax.tree.structure(template)
+    s1, s2 = cache[cache_key](ids, base_key, optics_override)
     if _return_sums:
         return (jax.tree.unflatten(treedef, s1), jax.tree.unflatten(treedef, s2),
                 n_batches)
