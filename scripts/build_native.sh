@@ -6,3 +6,7 @@ g++ -O3 -shared -fPIC -std=c++17 \
     i3rc_tpu/native/fastparse.cc \
     -o i3rc_tpu/native/_fastparse.so
 echo "built i3rc_tpu/native/_fastparse.so"
+g++ -O3 -shared -fPIC -std=c++17 \
+    i3rc_tpu/native/scalar_mc.cc \
+    -o i3rc_tpu/native/_scalar_mc.so
+echo "built i3rc_tpu/native/_scalar_mc.so"

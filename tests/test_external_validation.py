@@ -147,3 +147,51 @@ def test_step_cloud_anchor():
                                                     abs=3 * sigma)
     assert float(res.mean_flux_up + res.mean_flux_down) == pytest.approx(
         1.0, abs=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Native (C++) scalar-MC oracle: triangulates the 2-D scenes
+# ---------------------------------------------------------------------------
+
+native_mc = pytest.importorskip("i3rc_tpu.native.scalar_mc")
+needs_native = pytest.mark.skipif(not native_mc.available(),
+                                  reason="native oracle not built "
+                                  "(scripts/build_native.sh)")
+
+
+@needs_native
+def test_cpp_oracle_matches_disort_slab():
+    """C++ photon-serial MC vs the deterministic oracle on the slab.
+
+    Recorded at 8M photons: Fup 0.164897 vs 0.164878 (+0.1 sigma).  CI
+    budget is smaller; both oracles share no code with the framework or
+    each other (triangulation)."""
+    n = 1 << 20
+    ext = np.full((1, 1, 4), 1.0 / 250.0)
+    r = native_mc.trace(ext, np.ones_like(ext), 0.85, [0, 500.0], [0, 500.0],
+                        np.linspace(0, 250, 5), 0.5, 0.0, n, seed=3)
+    fup = r["flux_up"].sum() / n
+    r_ex, _ = hg_slab_fluxes(1.0, 1.0, 0.85, 0.5)
+    sigma = np.sqrt(r_ex * (1 - r_ex) / n)
+    assert fup == pytest.approx(r_ex, abs=3 * sigma)
+    assert r["n_bad"] == 0
+
+
+@needs_native
+def test_cpp_oracle_step_cloud_anchor():
+    """Independent C++ MC confirms the frozen step-cloud anchor.
+
+    Recorded at 4M photons: Fup 0.58079 vs the TPU anchor 0.58054
+    (+1.0 sigma)."""
+    n = 1 << 18
+    n_col, n_lay = 32, 32
+    tau = np.where(np.arange(n_col) < 16, 2.0, 18.0)
+    ext = np.broadcast_to((tau / 250.0)[:, None, None],
+                          (n_col, 1, n_lay)).copy()
+    r = native_mc.trace(ext, np.ones_like(ext), 0.85,
+                        np.linspace(0, 500, n_col + 1), [0, 500.0],
+                        np.linspace(0, 250, n_lay + 1), 0.5, 0.0, n, seed=11)
+    fup = r["flux_up"].sum() / n
+    sigma = np.sqrt(I3RC_STEP_CLOUD_FUP * (1 - I3RC_STEP_CLOUD_FUP) / n)
+    assert fup == pytest.approx(I3RC_STEP_CLOUD_FUP, abs=3.5 * sigma)
+    assert r["n_bad"] == 0
