@@ -80,7 +80,10 @@ class IntegratorConfig:
     # different RNG event stream.  fastpath_unroll = events per tally/refill
     # block (the deferred-tally period K).
     use_fastpath: bool = True
-    fastpath_unroll: int = 16
+    # 8 = the compile-time sweet spot (Mosaic compiles the unrolled event
+    # block in ~2 min; K=16 gains +3% throughput for ~5 min of compile —
+    # worth it only for long production runs).
+    fastpath_unroll: int = 8
     # Segment-march depth: crossings consumed per event before/until the
     # collision.  >1 pays only in crossing-dominated media; on the I3RC
     # step cloud collisions dominate (the tau=18 half), so every extra
