@@ -1,4 +1,4 @@
-"""Fused elementwise transport fastpath (flux, conservative, separable optics).
+"""Fused elementwise transport fastpath (flux, separable optics, black surface).
 
 Motivation (measured on TPU v5e, see PERF_NOTES.md): the general wavefront
 kernel (integrators/wavefront.py) spends most of each event iteration on
@@ -23,11 +23,13 @@ block:
     tabulated piecewise-cubic inverse CDF (detected from Legendre moments
     xi_l = g^l; the general path samples the same distribution through a
     256-segment cubic fit of the truncated expansion).
-  * Tallies and lane refill are DEFERRED: a conservative photon over a black
-    surface has weight exactly 1 and tallies exactly once (at its exit), so
-    deaths pend in per-lane registers (exit kind + column) and flush every K
-    events — one small one-hot tally matmul and one refill cumsum per
-    K-event block instead of per event.
+  * Tallies and lane refill are DEFERRED: a photon over a black surface has
+    weight exactly 1 and tallies exactly once (at its exit, or — for
+    absorbing media, where collisions kill with probability 1-ssa by
+    Bernoulli survival sampling — at its absorption point), so deaths pend
+    in per-lane registers (kind + column) and flush every K events — one
+    small one-hot tally matmul and one refill cumsum per K-event block
+    instead of per event.
 
 Eligibility is checked host-side (``fast_plan``); ineligible configurations
 fall back to the general kernel unchanged.  Expectations are identical to
@@ -230,6 +232,13 @@ class FastPlan:
     # factored one-hot read (the dominant cost for big scenes — measured
     # ~5.6 ns/lane for 16k columns vs ~0.2 ns/lane for everything else).
     column_data: object = None
+    # Uniform single-scattering albedo.  ssa < 1 uses Bernoulli absorption
+    # (survival sampling): at each collision the photon is absorbed with
+    # probability 1 - ssa and tallied (weight 1) at its column — one death
+    # per photon, so the deferred-tally/flush design is unchanged.  Same
+    # expectation as the reference's analog weighting (:642-649); slightly
+    # higher variance, far faster on this kernel.
+    ssa: float = 1.0
 
 
 def fast_plan(geom, flat, optics, surface, intensity, config) -> FastPlan | None:
@@ -258,7 +267,9 @@ def fast_plan(geom, flat, optics, surface, intensity, config) -> FastPlan | None
         return None
     if surface.uses_brdf or float(surface.albedo) != 0.0:
         return None
-    if optics.n_components != 1 or optics.uniform_ssa != 1.0:
+    if optics.n_components != 1 or optics.uniform_ssa is None:
+        return None
+    if not (0.0 < optics.uniform_ssa <= 1.0):
         return None
     if optics.uniform_phase_index is None:
         return None
@@ -315,7 +326,7 @@ def fast_plan(geom, flat, optics, surface, intensity, config) -> FastPlan | None
     return FastPlan(fx=fx, fy=fy, fz=fz,
                     hg_g=g, unroll=int(getattr(config, "fastpath_unroll", 8)),
                     detectors=detectors, shadow_steps=shadow_steps,
-                    column_data=column_data)
+                    column_data=column_data, ssa=float(optics.uniform_ssa))
 
 
 # ---------------------------------------------------------------------------
@@ -338,7 +349,7 @@ def hg_phase(g: float, cos_theta):
 
 def _build_pallas_block(fast_event, track_y: bool, L: int, K: int,
                         interpret: bool = False, blk_rows: int | None = None,
-                        vmem_mb: int | None = None):
+                        vmem_mb: int | None = None, n_draws: int = 3):
     """Mosaic kernel running K fast_event steps with VMEM-resident state.
 
     The wavefront state (13 per-lane arrays) is tiled (rows, 128) and
@@ -412,8 +423,8 @@ def _build_pallas_block(fast_event, track_y: bool, L: int, K: int,
         # bound register liveness for K>=32; it hangs Mosaic compilation —
         # the unrolled form with the raised VMEM cap is the working shape.)
         for j in range(K):
-            st = fast_event((draw(3 * j), draw(3 * j + 1),
-                             draw(3 * j + 2)), st)
+            st = fast_event(tuple(draw(n_draws * j + i)
+                                  for i in range(n_draws)), st)
         (alive, x, y, z, ux, uy, uz, tau, orders, pk, bad, evct, _) = st
         new = {"alive": alive.astype(i32), "x": x, "z": z, "ux": ux,
                "uy": uy, "uz": uz, "tau": tau, "orders": orders,
@@ -489,6 +500,10 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
     # with a uniform y factor): nothing reads it — a y "crossing" is a pure
     # periodic wrap with no physics and no tally key.
     track_y = column_mode or not (n_y == 1 and fy.n_ops == 0)
+    # Bernoulli absorption (see FastPlan.ssa): collisions draw a 4th
+    # uniform; absorbed photons die with pending kind 3.
+    absorbing = plan.ssa < 1.0
+    n_draws = 4 if absorbing else 3
 
     def wrap_fast(v, lo, hi):
         """Periodic wrap for positions at most one event-step outside."""
@@ -661,6 +676,15 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
             collided = collided | collide_m
             moving = cross & ~exit_top & ~exit_bot
 
+        if absorbing:
+            # Bernoulli absorption at the collision (see FastPlan.ssa):
+            # absorbed photons die with weight 1 at their frozen position;
+            # only survivors contribute to detectors and scatter.  Same
+            # expectation as the reference's analog weighting (:642-649).
+            die = collided & (u[3] >= jnp.float32(plan.ssa))
+            pk = jnp.where(die, 3, pk)
+            collided = collided & ~die
+
         # Local-estimate radiance: every physical collision contributes
         # P(photon->detector)/(4 pi |mu_d|) x exp(-tau to the boundary) at
         # the shadow ray's exit column (computeIntensityContribution,
@@ -712,7 +736,7 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
     if use_pallas:
         import os
         pallas_block = _build_pallas_block(
-            fast_event, track_y, L, K,
+            fast_event, track_y, L, K, n_draws=n_draws,
             interpret=jax.default_backend() != "tpu",
             # Tuning knobs (measured optimum baked in as defaults; the env
             # vars exist for perf experiments on new hardware).
@@ -724,16 +748,16 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
 
     def flush(columns, pk, x, y):
         # The tally column comes from the frozen exit position (exits commit
-        # the wrapped boundary point into x/y), so the event step never
-        # computes a per-event column index.
+        # the wrapped boundary point into x/y; absorptions the collision
+        # point), so the event step never computes a per-event column index.
         ix = jnp.clip(((x - x0) * inv_dx).astype(jnp.int32), 0, n_x - 1)
         if track_y and n_y > 1:
             iy = jnp.clip(((y - y0) * inv_dy).astype(jnp.int32), 0, n_y - 1)
             col = ix * n_y + iy
         else:
             col = ix
-        vals = jnp.stack([(pk == 1).astype(jnp.float32),
-                          (pk == 2).astype(jnp.float32)], axis=1)
+        kinds = [(pk == 1), (pk == 2)] + ([(pk == 3)] if absorbing else [])
+        vals = jnp.stack([k.astype(jnp.float32) for k in kinds], axis=1)
         return tally_multi(columns, col, vals), jnp.zeros_like(pk)
 
     def trace(key, batch, source=None, optics_override=None):
@@ -746,7 +770,7 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
         alive = lane_ids < n_photons
         launched = jnp.int32(min(L, n_photons))
         zeros_i = jnp.zeros(L, jnp.int32)
-        columns = jnp.zeros((n_cols, 2), jnp.float32)
+        columns = jnp.zeros((n_cols, 3 if absorbing else 2), jnp.float32)
 
         def body(carry):
             kb, launched, st, columns = carry
@@ -789,7 +813,7 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
                 # re-reads it).
                 for j in range(K):
                     u = jax.random.uniform(jax.random.fold_in(key, kb * K + j),
-                                           (3, L), dtype=jnp.float32)
+                                           (n_draws, L), dtype=jnp.float32)
                     st = fast_event(u, st)
             return kb + 1, launched, st, columns
 
@@ -818,7 +842,7 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
             intensity = by_comp = zero0
         return RawTallies(
             flux_up=columns[:, 0], flux_down=columns[:, 1],
-            flux_absorbed=zero_cols,
+            flux_absorbed=columns[:, 2] if absorbing else zero_cols,
             volume_absorption=jnp.zeros(n_cols * n_z, jnp.float32),
             intensity=intensity, intensity_by_component=by_comp,
             intensity_excess=jnp.zeros(D * 2 if D else 0, jnp.float32),

@@ -98,12 +98,12 @@ def test_conservative_slab_vs_oracle(tau, mu0, n, cfg_name):
 @pytest.mark.parametrize("tau,ssa,mu0,cfg_name", [
     (2.0, 0.99, 0.5, "maxxs"),
     (1.0, 0.9, 1.0, "rt"),
-    (2.0, 0.99, 0.5, "fast_general"),  # fastpath declines ssa<1: general path
+    (2.0, 0.99, 0.5, "fast"),   # fastpath: Bernoulli absorption estimator
+    (1.0, 0.9, 0.5, "fast"),
 ])
 def test_absorbing_slab_vs_oracle(tau, ssa, mu0, cfg_name):
     n = 1 << 16
-    cfg = {"maxxs": GENERAL_MAXXS, "rt": GENERAL_RT,
-           "fast_general": GENERAL_MAXXS}[cfg_name]
+    cfg = {"maxxs": GENERAL_MAXXS, "rt": GENERAL_RT, "fast": FAST}[cfg_name]
     r_ex, t_ex = hg_slab_fluxes(tau, ssa, 0.85, mu0, n_legendre=64)
     res = _slab_mc(tau, ssa, mu0, cfg, n, key=3)
     sigma = np.sqrt(max(r_ex * (1 - r_ex), t_ex * (1 - t_ex)) / n)
@@ -114,16 +114,21 @@ def test_absorbing_slab_vs_oracle(tau, ssa, mu0, cfg_name):
     assert float(res.mean_flux_absorbed) == pytest.approx(a_ex, abs=3 * sigma)
 
 
-def test_pallas_fastpath_slab_vs_oracle():
-    """The Mosaic event-block kernel against the deterministic oracle."""
+@pytest.mark.parametrize("ssa", [1.0, 0.95])
+def test_pallas_fastpath_slab_vs_oracle(ssa):
+    """The Mosaic event-block kernel against the deterministic oracle
+    (ssa<1 exercises the 4-draw Bernoulli-absorption block)."""
     n = 1 << 16
     cfg = IntegratorConfig(use_ray_tracing=False, max_events=2000,
                            compute_volume_absorption=False,
                            use_pallas_fastpath=True)
-    r_ex, t_ex = hg_slab_fluxes(1.0, 1.0, 0.85, 0.5, n_legendre=64)
-    res = _slab_mc(1.0, 1.0, 0.5, cfg, n, key=5)
-    sigma = np.sqrt(r_ex * (1.0 - r_ex) / n)
+    r_ex, t_ex = hg_slab_fluxes(1.0, ssa, 0.85, 0.5, n_legendre=64)
+    res = _slab_mc(1.0, ssa, 0.5, cfg, n, key=5)
+    sigma = np.sqrt(max(r_ex * (1 - r_ex), t_ex * (1 - t_ex)) / n)
     assert float(res.mean_flux_up) == pytest.approx(r_ex, abs=3 * sigma)
+    assert float(res.mean_flux_down) == pytest.approx(t_ex, abs=3 * sigma)
+    assert float(res.mean_flux_absorbed) == pytest.approx(
+        1.0 - r_ex - t_ex, abs=3 * sigma)
 
 
 # ---------------------------------------------------------------------------

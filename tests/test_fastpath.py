@@ -73,12 +73,32 @@ def test_ineligible_configs_fall_back(kwargs, cfg):
     assert _plan(integ) is None
 
 
-def test_absorbing_cloud_falls_back():
+def test_absorbing_cloud_is_eligible():
+    """ssa < 1 runs the fastpath with Bernoulli absorption (one death per
+    photon at the collision), same expectation as analog weighting; checked
+    against the deterministic oracle in test_external_validation.py."""
     from i3rc_tpu.models.step_cloud import make_step_cloud
     from i3rc_tpu.integrators.integrator import Integrator
 
     integ = Integrator.create(make_step_cloud(0.99), config=FAST_CFG)
-    assert _plan(integ) is None
+    plan = _plan(integ)
+    assert plan is not None and plan.ssa == pytest.approx(0.99)
+    n = 1 << 16
+    src = PhotonSource.directional(0.5, 0.0)
+    res = integ.batch_fn(src, n)(jax.random.PRNGKey(21))
+    gen = Integrator.create(make_step_cloud(0.99), config=IntegratorConfig(
+        use_ray_tracing=False, max_events=500,
+        compute_volume_absorption=False, majorant_block_size=16,
+        use_fastpath=False))
+    rg = gen.batch_fn(src, n)(jax.random.PRNGKey(22))
+    sigma = float(np.sqrt(2 * 0.5 * 0.5 / n))
+    assert float(res.mean_flux_up) == pytest.approx(float(rg.mean_flux_up),
+                                                    abs=4 * sigma)
+    assert float(res.mean_flux_absorbed) == pytest.approx(
+        float(rg.mean_flux_absorbed), abs=4 * sigma)
+    # Weight budget closes: up + down + absorbed == 1.
+    total = float(res.mean_flux_up + res.mean_flux_down + res.mean_flux_absorbed)
+    assert total == pytest.approx(1.0, abs=1e-5)
 
 
 def test_separable_factor_detection():
@@ -164,6 +184,30 @@ def test_fastpath_radiance_matches_general_kernel():
     np.testing.assert_allclose(i_f, i_g, rtol=0.06)
     # Flux tallies ride along unchanged.
     assert float(rf.mean_flux_up + rf.mean_flux_down) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_fastpath_absorbing_radiance_matches_general_kernel():
+    """ssa<1 with detectors: Bernoulli death is applied BEFORE the collision's
+    local-estimate contribution, so the expected contribution at collision k
+    is ssa^k x phase — exactly the general kernel's analog weighting (weight
+    multiplied by ssa before computeIntensityContribution)."""
+    from i3rc_tpu.models.step_cloud import make_step_cloud
+    from i3rc_tpu.integrators.integrator import Integrator
+
+    n = 1 << 15
+    src = PhotonSource.directional(0.5, 0.0)
+    det = dict(intensity_mus=[0.5, -0.5], intensity_phis=[0.0, 0.0])
+    fast = Integrator.create(make_step_cloud(0.99), config=IntegratorConfig(
+        use_ray_tracing=False, max_events=500,
+        compute_volume_absorption=False), **det)
+    gen = Integrator.create(make_step_cloud(0.99), config=IntegratorConfig(
+        use_ray_tracing=False, max_events=500,
+        compute_volume_absorption=False, majorant_block_size=16,
+        use_fastpath=False), **det)
+    assert _plan(fast) is not None and _plan(fast).ssa == pytest.approx(0.99)
+    i_f = np.asarray(fast.batch_fn(src, n)(jax.random.PRNGKey(31)).mean_intensity)
+    i_g = np.asarray(gen.batch_fn(src, n)(jax.random.PRNGKey(32)).mean_intensity)
+    np.testing.assert_allclose(i_f, i_g, rtol=0.06)
 
 
 def test_fastpath_refill_budget_exact():
