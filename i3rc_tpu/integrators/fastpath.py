@@ -491,6 +491,13 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
     n_cols = n_x * n_y
 
     fx, fy, fz = plan.fx, plan.fy, plan.fz
+
+    def _inv_factor(f: StepFactor) -> StepFactor:
+        # Reciprocal-value chain (zero segments -> 0; masked by ext > 0).
+        return StepFactor(f.thresholds,
+                          tuple(1.0 / v if v else 0.0 for v in f.values))
+
+    inv_fx, inv_fy, inv_fz = map(_inv_factor, (fx, fy, fz))
     column_mode = plan.column_data is not None
     if column_mode:
         from i3rc_tpu.ops.gather import read_rows as _read_rows
@@ -631,6 +638,13 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
                 ext = fx(x) * fz(z)
                 if track_y:
                     ext = ext * fy(y)
+                # Collision distance by multiply: the inverse-value chains
+                # cost the same handful of selects as the forward chains but
+                # replace the tau_rem/ext division (zero-valued segments
+                # carry inv 0 and are masked by the ext > 0 select).
+                inv_ext = inv_fx(x) * inv_fz(z)
+                if track_y:
+                    inv_ext = inv_ext * inv_fy(y)
                 face_x = fx.next_face(x, up_x, x0, x_max)
                 face_z = fz.next_face(z, up_z, z0, z_max)
                 if track_y:
@@ -642,7 +656,11 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
                 sy = jnp.where(jnp.abs(uy) >= 2e-30, (face_y - y) / uy, _HUGE)
                 s_bnd = jnp.minimum(s_bnd, sy)
             s_bnd = jnp.maximum(s_bnd, 0.0)
-            s_col = jnp.where(ext > 0.0, tau_rem / jnp.maximum(ext, TINY), _HUGE)
+            if column_mode:
+                s_col = jnp.where(ext > 0.0,
+                                  tau_rem / jnp.maximum(ext, TINY), _HUGE)
+            else:
+                s_col = jnp.where(ext > 0.0, tau_rem * inv_ext, _HUGE)
 
             collide_m = moving & (s_col <= s_bnd)
             cross = moving & ~collide_m
@@ -702,7 +720,10 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
                 acc_int = tally_multi(acc_int, col_d, vals)
 
         cos_scat = hg_cosine(plan.hg_g, u[1])
-        nux, nuy, nuz = rotate_direction(ux, uy, uz, cos_scat, u[2])
+        # Renormalization deferred to the per-block glue (see body/renorm):
+        # saves an rsqrt in the hot kernel; drift is ~1e-7 per rotation.
+        nux, nuy, nuz = rotate_direction(ux, uy, uz, cos_scat, u[2],
+                                         renormalize=False)
         ux = jnp.where(collided, nux, ux)
         uy = jnp.where(collided, nuy, uy)
         uz = jnp.where(collided, nuz, uz)
@@ -776,6 +797,13 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
             kb, launched, st, columns = carry
             (alive, x, y, z, ux, uy, uz, tau_rem, orders, pk,
              bad, evct, acc_int) = st
+            # Per-block direction renormalization: the event step skips the
+            # per-rotation rsqrt (rotate_direction(renormalize=False)), so
+            # f32 drift (~1e-7/rotation) is squeezed out here, once per K
+            # events, fused into this glue's elementwise work.
+            rn = jax.lax.rsqrt(jnp.maximum(ux * ux + uy * uy + uz * uz,
+                                           jnp.float32(1e-12)))
+            ux, uy, uz = ux * rn, uy * rn, uz * rn
             # Flush last block's deaths, then refill those lanes (FIFO).
             columns, pk = flush(columns, pk, x, y)
             if n_photons > L:

@@ -201,12 +201,17 @@ def _sincos_2pi(u):
     return sign_sin * sin_q, sign_cos * cos_q
 
 
-def rotate_direction(ux, uy, uz, cos_scat, u_azimuth):
+def rotate_direction(ux, uy, uz, cos_scat, u_azimuth, renormalize=True):
     """New direction after scattering by cos_scat with uniform azimuth.
 
     Physics-equivalent replacement for NEXT_DIRECT (:2086-2113): the Marchuk
     rejection sampler draws a uniform azimuth; here chi = 2 pi u feeds the
     standard rotation, branch-free, then renormalizes (float32 drift).
+
+    renormalize=False skips the final rsqrt for hot paths that renormalize
+    in bulk elsewhere (the fastpath renormalizes once per K-event block:
+    drift per rotation is ~1e-7, so the block-boundary norm error stays
+    below ~1e-6 — far under the statistical gates).
     """
     sin_chi, cos_chi = _sincos_2pi(u_azimuth)
     sin_scat = jnp.sqrt(jnp.maximum(1.0 - cos_scat * cos_scat, 0.0))
@@ -228,6 +233,8 @@ def rotate_direction(ux, uy, uz, cos_scat, u_azimuth):
     nx = jnp.where(near_pole, pol_x, nx)
     ny = jnp.where(near_pole, pol_y, ny)
     nz = jnp.where(near_pole, pol_z, nz)
+    if not renormalize:
+        return nx, ny, nz
     norm = jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-12))
     return nx * norm, ny * norm, nz * norm
 
