@@ -239,13 +239,28 @@ class FastPlan:
     # expectation as the reference's analog weighting (:642-649); slightly
     # higher variance, far faster on this kernel.
     ssa: float = 1.0
+    # Gas channel: a second, horizontally-uniform pure-absorber component
+    # (the k-distribution "Gas absorption" shape, integrators/spectral.py)
+    # handled as a FACTORIZED collision channel: each photon carries one
+    # exponential gas-tau threshold (tgas, drawn at launch/refill) that the
+    # traveled gas optical depth consumes; crossing it kills the photon
+    # (weight 1, kind 3) at the crossing point.  Exactly equivalent in
+    # expectation to folding the absorber into the total extinction, but
+    # the cloud transport grid stays separable and collisions stay pure
+    # scatter/Bernoulli events.  gas_factor holds the baked per-layer
+    # profile (spectral runs override it per k-point with traced values —
+    # see trace(optics_override)); gas_idx is the component slot.
+    gas_factor: object = None
+    gas_idx: int = -1
 
 
 def fast_plan(geom, flat, optics, surface, intensity, config) -> FastPlan | None:
     """Eligibility check + plan for the fused elementwise kernel.
 
     Requirements (everything else uses the general wavefront kernel):
-    conservative single-component optics with one HG phase function, black
+    single-component optics with uniform ssa in (0, 1] and one HG phase
+    function — optionally plus a horizontally-uniform pure-absorber second
+    component (the spectral gas shape; see FastPlan.gas_factor) — black
     Lambertian surface, non-ray-tracing transport, regular grid, separable
     few-segment extinction.  Radiance detectors are supported with the
     default estimator configuration (exact transmittance traces — no
@@ -267,18 +282,78 @@ def fast_plan(geom, flat, optics, surface, intensity, config) -> FastPlan | None
         return None
     if surface.uses_brdf or float(surface.albedo) != 0.0:
         return None
-    if optics.n_components != 1 or optics.uniform_ssa is None:
-        return None
-    if not (0.0 < optics.uniform_ssa <= 1.0):
-        return None
-    if optics.uniform_phase_index is None:
-        return None
     if not (geom.xy_regular and geom.z_regular):
         return None
-    g = detect_hg(flat.forward_tables[0])
+
+    gas_factor = None
+    gas_idx = -1
+    if optics.n_components == 2:
+        # Cloud + gas: one pure-absorber horizontally-uniform component
+        # (the spectral loop's "Gas absorption", spectral.py:36-46) rides as
+        # a factorized collision channel; the other must satisfy the usual
+        # single-component requirements.
+        if intensity is not None:        # shadow rays don't carry gas (yet)
+            return None
+        total = np.asarray(flat.total_ext, np.float64)
+        cum = np.asarray(flat.cumulative_ext, np.float64)
+        ssa_c = np.asarray(flat.ssa, np.float64)
+        pfi = np.asarray(flat.phase_index)
+        exts = [cum[..., 0] * total, (cum[..., 1] - cum[..., 0]) * total]
+
+        def is_gas(c):
+            occ = exts[c] > 0.0
+            if not occ.any() or np.any(ssa_c[..., c][occ] != 0.0):
+                return False
+            prof = exts[c]
+            # The per-component field is reconstructed from f32 FRACTIONAL
+            # cumulative extinction, so horizontal uniformity holds only to
+            # ~eps_f32 * total_ext (different rounding under different
+            # cloud columns) — tolerate that reconstruction noise.
+            tol = 1e-6 * max(prof.max(), 1e-30) + 4e-7 * float(total.max())
+            return bool(np.ptp(prof, axis=(0, 1)).max() <= tol)
+
+        gas_idx = next((c for c in (1, 0) if is_gas(c)), -1)
+        if gas_idx < 0:
+            return None
+        cloud_idx = 1 - gas_idx
+        # Bake the horizontal mean (squeezes the reconstruction noise) and
+        # derive the cloud field by exact subtraction from the total.
+        gas_profile = exts[gas_idx].mean(axis=(0, 1))
+        cloud_ext = np.maximum(total - gas_profile[None, None, :], 0.0)
+        occ = cloud_ext > 0.0
+        if not occ.any():
+            return None
+        s_occ = ssa_c[..., cloud_idx][occ]
+        p_occ = pfi[..., cloud_idx][occ]
+        if not (np.all(s_occ == s_occ.flat[0]) and np.all(p_occ == p_occ.flat[0])):
+            return None
+        uniform_ssa = float(s_occ.flat[0])
+        if not (0.0 < uniform_ssa <= 1.0):
+            return None
+        # Snap near-equal adjacent layers (reconstruction noise) so run-
+        # length compression isn't defeated by 1-ulp wiggles.
+        snap = 1e-6 * max(gas_profile.max(), 1e-30) + 4e-7 * float(total.max())
+        for i in range(1, gas_profile.size):
+            if abs(gas_profile[i] - gas_profile[i - 1]) <= snap:
+                gas_profile[i] = gas_profile[i - 1]
+        gas_factor = _compress_factor(gas_profile, np.asarray(geom.z_edges))
+        if gas_factor is None:
+            return None
+        g = detect_hg(flat.forward_tables[cloud_idx])
+        cloud_field = np.asarray(cloud_ext, np.float32)
+    elif optics.n_components == 1 and optics.uniform_ssa is not None:
+        if not (0.0 < optics.uniform_ssa <= 1.0):
+            return None
+        if optics.uniform_phase_index is None:
+            return None
+        uniform_ssa = float(optics.uniform_ssa)
+        g = detect_hg(flat.forward_tables[0])
+        cloud_field = flat.total_ext
+    else:
+        return None
     if g is None or g == 0.0:
         return None
-    factors = separable_factors(flat.total_ext, np.asarray(geom.x_edges),
+    factors = separable_factors(cloud_field, np.asarray(geom.x_edges),
                                 np.asarray(geom.y_edges), np.asarray(geom.z_edges))
     if factors is not None and (factors[0].n_ops + factors[1].n_ops
                                 + factors[2].n_ops > MAX_SEGMENTS):
@@ -286,6 +361,8 @@ def fast_plan(geom, flat, optics, surface, intensity, config) -> FastPlan | None
     column_data = None
     if factors is None:
         if intensity is not None:   # unrolled shadow rays need few segments
+            return None
+        if gas_factor is not None:  # gas rides the separable path only
             return None
         column_data = column_structure(flat.total_ext, np.asarray(geom.z_edges))
         if column_data is None:
@@ -326,7 +403,8 @@ def fast_plan(geom, flat, optics, surface, intensity, config) -> FastPlan | None
     return FastPlan(fx=fx, fy=fy, fz=fz,
                     hg_g=g, unroll=int(getattr(config, "fastpath_unroll", 8)),
                     detectors=detectors, shadow_steps=shadow_steps,
-                    column_data=column_data, ssa=float(optics.uniform_ssa))
+                    column_data=column_data, ssa=uniform_ssa,
+                    gas_factor=gas_factor, gas_idx=gas_idx)
 
 
 # ---------------------------------------------------------------------------
@@ -349,7 +427,8 @@ def hg_phase(g: float, cos_theta):
 
 def _build_pallas_block(fast_event, track_y: bool, L: int, K: int,
                         interpret: bool = False, blk_rows: int | None = None,
-                        vmem_mb: int | None = None, n_draws: int = 3):
+                        vmem_mb: int | None = None, n_draws: int = 3,
+                        gas: bool = False):
     """Mosaic kernel running K fast_event steps with VMEM-resident state.
 
     The wavefront state (13 per-lane arrays) is tiled (rows, 128) and
@@ -374,7 +453,8 @@ def _build_pallas_block(fast_event, track_y: bool, L: int, K: int,
 
     f32, i32 = jnp.float32, jnp.int32
     fields = ["alive", "x"] + (["y"] if track_y else []) + [
-        "z", "ux", "uy", "uz", "tau", "orders", "pk", "bad", "evct"]
+        "z", "ux", "uy", "uz", "tau", "orders", "pk", "bad", "evct"] + (
+        ["tgas"] if gas else [])
     int_fields = {"alive", "orders", "pk", "bad", "evct"}
     n_state = len(fields)
 
@@ -418,19 +498,22 @@ def _build_pallas_block(fast_event, track_y: bool, L: int, K: int,
         v = {name: ref[...] for name, ref in zip(fields, ins)}
         st = (v["alive"] != 0, v["x"], v["y"] if track_y else f32(0.0),
               v["z"], v["ux"], v["uy"], v["uz"], v["tau"], v["orders"],
-              v["pk"], v["bad"], v["evct"], f32(0.0))
+              v["pk"], v["bad"], v["evct"], f32(0.0)) + (
+            (v["tgas"],) if gas else ())
         # Python-unrolled event loop.  (A lax.fori_loop body was tried to
         # bound register liveness for K>=32; it hangs Mosaic compilation —
         # the unrolled form with the raised VMEM cap is the working shape.)
         for j in range(K):
             st = fast_event(tuple(draw(n_draws * j + i)
                                   for i in range(n_draws)), st)
-        (alive, x, y, z, ux, uy, uz, tau, orders, pk, bad, evct, _) = st
+        (alive, x, y, z, ux, uy, uz, tau, orders, pk, bad, evct, _) = st[:13]
         new = {"alive": alive.astype(i32), "x": x, "z": z, "ux": ux,
                "uy": uy, "uz": uz, "tau": tau, "orders": orders,
                "pk": pk, "bad": bad, "evct": evct}
         if track_y:
             new["y"] = y
+        if gas:
+            new["tgas"] = st[13]
         for name, ref in zip(fields, outs):
             ref[...] = new[name]
 
@@ -452,18 +535,20 @@ def _build_pallas_block(fast_event, track_y: bool, L: int, K: int,
 
     def block_fn(seed2, st):
         (alive, x, y, z, ux, uy, uz, tau, orders, pk, bad, evct,
-         acc_int) = st
+         acc_int) = st[:13]
         args = {"alive": alive.astype(i32), "x": x, "z": z, "ux": ux,
                 "uy": uy, "uz": uz, "tau": tau, "orders": orders, "pk": pk,
                 "bad": bad, "evct": evct}
         if track_y:
             args["y"] = y
+        if gas:
+            args["tgas"] = st[13]
         outs = call(seed2, *[args[n].reshape(R, 128) for n in fields])
         new = {n: o.reshape(L) for n, o in zip(fields, outs)}
         return (new["alive"] != 0, new["x"], new["y"] if track_y else y,
                 new["z"], new["ux"], new["uy"], new["uz"], new["tau"],
                 new["orders"], new["pk"], new["bad"],
-                new["evct"], acc_int)
+                new["evct"], acc_int) + ((new["tgas"],) if gas else ())
 
     return block_fn
 
@@ -511,6 +596,45 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
     # uniform; absorbed photons die with pending kind 3.
     absorbing = plan.ssa < 1.0
     n_draws = 4 if absorbing else 3
+    # Gas channel (see FastPlan.gas_factor): per-lane exponential gas-tau
+    # threshold (tgas, state slot 13) consumed along every traveled step;
+    # crossing it is a kind-3 death at the crossing point.  The chain
+    # values are baked floats by default; a spectral-k override replaces
+    # them with traced scalars (XLA path only — the Pallas closure requires
+    # host constants).
+    gas_mode = plan.gas_factor is not None
+    if gas_mode:
+        baked_gas = (plan.gas_factor, _inv_factor(plan.gas_factor))
+        n_z_layers = n_z
+        inv_dz_g = np.float32(n_z_layers / (z_max - z0))
+        dz_g = np.float32((z_max - z0) / n_z_layers)
+
+    def make_gas_eval(profile=None):
+        """(gz(z), inv_gz(z), gas_face(z, up_z)) — baked or traced values."""
+        if profile is None:
+            g_fac, ig_fac = baked_gas
+            return (g_fac, ig_fac,
+                    lambda z, up: g_fac.next_face(z, up, z0, z_max))
+        vals = [profile[i] for i in range(n_z_layers)]
+        inv_vals = [jnp.where(v > 0, 1.0 / jnp.maximum(v, TINY), 0.0)
+                    for v in vals]
+        edges = [z0 + (i + 1) * float(dz_g) for i in range(n_z_layers - 1)]
+
+        def chain(values):
+            def f(z):
+                acc = jnp.broadcast_to(jnp.float32(values[0]), z.shape) \
+                    if np.isscalar(values[0]) else \
+                    jnp.broadcast_to(values[0].astype(jnp.float32), z.shape)
+                for t, v in zip(edges, values[1:]):
+                    acc = jnp.where(z >= jnp.float32(t), v, acc)
+                return acc
+            return f
+
+        def gas_face(z, up):
+            layer = jnp.floor((z - z0) * inv_dz_g)
+            return z0 + (layer + up.astype(jnp.float32)) * dz_g
+
+        return chain(vals), chain(inv_vals), gas_face
 
     def wrap_fast(v, lo, hi):
         """Periodic wrap for positions at most one event-step outside."""
@@ -595,9 +719,13 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
     # keeps MARCH = 1: its per-substep one-hot column read dominates.
     MARCH = 1 if column_mode else max(1, int(getattr(config, "fastpath_march", 4)))
 
-    def fast_event(u, st):
+    def fast_event(u, st, gas=None):
         (alive, x, y, z, ux, uy, uz, tau_rem, orders, pk, bad, evct,
-         acc_int) = st
+         acc_int) = st[:13]
+        if gas_mode:
+            tgas = st[13]
+            gz_fn, inv_gz_fn, gas_face = gas if gas is not None \
+                else make_gas_eval()
         tau_rem = jnp.where(tau_rem > 0.0, tau_rem, exponential_deviate(u[0]))
 
         # Exact local extinction (constant within the current segment box)
@@ -649,6 +777,14 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
                 face_z = fz.next_face(z, up_z, z0, z_max)
                 if track_y:
                     face_y = fy.next_face(y, up_y, y0, y_max)
+            if gas_mode:
+                # Steps also stop at gas-segment faces so gz is constant
+                # along the step; the gas channel competes as a third
+                # outcome (below).
+                gzv = gz_fn(z)
+                face_zg = gas_face(z, up_z)
+                face_z = jnp.where(up_z, jnp.minimum(face_z, face_zg),
+                                   jnp.maximum(face_z, face_zg))
             sx = jnp.where(jnp.abs(ux) >= 2e-30, (face_x - x) / ux, _HUGE)
             sz = jnp.where(jnp.abs(uz) >= 2e-30, (face_z - z) / uz, _HUGE)
             s_bnd = jnp.minimum(sx, sz)
@@ -662,9 +798,19 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
             else:
                 s_col = jnp.where(ext > 0.0, tau_rem * inv_ext, _HUGE)
 
-            collide_m = moving & (s_col <= s_bnd)
-            cross = moving & ~collide_m
-            adv = jnp.minimum(s_col, s_bnd)
+            if gas_mode:
+                s_gas = jnp.where(gzv > 0.0, tgas * inv_gz_fn(z), _HUGE)
+                collide_m = moving & (s_col <= s_bnd) & (s_col <= s_gas)
+                gas_die = moving & ~collide_m & (s_gas <= s_bnd)
+                cross = moving & ~collide_m & ~gas_die
+                adv = jnp.minimum(jnp.minimum(s_col, s_bnd), s_gas)
+                # Gas tau is consumed along EVERY traveled step; gas deaths
+                # stop exactly at the threshold-crossing point (adv==s_gas).
+                tgas = jnp.where(moving, tgas - adv * gzv, tgas)
+            else:
+                collide_m = moving & (s_col <= s_bnd)
+                cross = moving & ~collide_m
+                adv = jnp.minimum(s_col, s_bnd)
             nxp = x + ux * adv
             nzp = z + uz * adv
             # Push the crossed coordinate(s) strictly past the face so the
@@ -681,6 +827,8 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
             exit_top = cross & (nzp >= z_max)
             exit_bot = cross & ~exit_top & (nzp <= z0)
             pk = jnp.where(exit_top, 1, jnp.where(exit_bot, 2, pk))
+            if gas_mode:
+                pk = jnp.where(gas_die, 3, pk)
             tau_rem = jnp.where(cross, tau_rem - s_bnd * ext,
                                 jnp.where(collide_m, 0.0, tau_rem))
             # Commit positions for every lane that moved: collided lanes
@@ -736,7 +884,7 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
         evct = evct + alive.astype(jnp.int32)
         alive = alive & (pk == 0) & ~over
         return (alive, x, y, z, ux, uy, uz, tau_rem, orders, pk, bad, evct,
-                acc_int)
+                acc_int) + ((tgas,) if gas_mode else ())
 
     # ------------------------------------------------------------------
     # Pallas event-block: K events per HBM round-trip.  The XLA fastpath
@@ -757,7 +905,7 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
     if use_pallas:
         import os
         pallas_block = _build_pallas_block(
-            fast_event, track_y, L, K, n_draws=n_draws,
+            fast_event, track_y, L, K, n_draws=n_draws, gas=gas_mode,
             interpret=jax.default_backend() != "tpu",
             # Tuning knobs (measured optimum baked in as defaults; the env
             # vars exist for perf experiments on new hardware).
@@ -777,12 +925,30 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
             col = ix * n_y + iy
         else:
             col = ix
-        kinds = [(pk == 1), (pk == 2)] + ([(pk == 3)] if absorbing else [])
+        kinds = [(pk == 1), (pk == 2)] + (
+            [(pk == 3)] if absorbing or gas_mode else [])
         vals = jnp.stack([k.astype(jnp.float32) for k in kinds], axis=1)
         return tally_multi(columns, col, vals), jnp.zeros_like(pk)
 
     def trace(key, batch, source=None, optics_override=None):
-        assert optics_override is None, "fastpath bakes optics statically"
+        if optics_override is not None:
+            if not gas_mode:
+                raise ValueError("fastpath bakes optics statically; only "
+                                 "the gas channel takes overrides")
+            # Spectral k-loop: the override's gas component values replace
+            # the baked chain as TRACED scalars (one executable serves all
+            # k points, mirroring the general kernel's optics argument).
+            # The Pallas closure needs host constants, so override traces
+            # run the XLA event loop.
+            cum = optics_override.cumulative_ext.reshape(n_x * n_y * n_z, 2)
+            frac = cum[:, 1] - cum[:, 0] if plan.gas_idx == 1 else cum[:, 0]
+            prof = (optics_override.total_ext * frac).reshape(
+                n_x, n_y, n_z)[0, 0, :]
+            gas_eval = make_gas_eval(prof)
+            pallas_ok = False
+        else:
+            gas_eval = None      # fast_event falls back to the baked chain
+            pallas_ok = True
         x = x0 + batch.x * (x_max - x0)
         y = y0 + batch.y * (y_max - y0)
         z = z0 + batch.z * (z_max - z0)
@@ -791,12 +957,15 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
         alive = lane_ids < n_photons
         launched = jnp.int32(min(L, n_photons))
         zeros_i = jnp.zeros(L, jnp.int32)
-        columns = jnp.zeros((n_cols, 3 if absorbing else 2), jnp.float32)
+        columns = jnp.zeros((n_cols, 3 if absorbing or gas_mode else 2),
+                            jnp.float32)
 
         def body(carry):
             kb, launched, st, columns = carry
             (alive, x, y, z, ux, uy, uz, tau_rem, orders, pk,
-             bad, evct, acc_int) = st
+             bad, evct, acc_int) = st[:13]
+            if gas_mode:
+                tgas = st[13]
             # Per-block direction renormalization: the event step skips the
             # per-rotation rsqrt (rotate_direction(renormalize=False)), so
             # f32 drift (~1e-7/rotation) is squeezed out here, once per K
@@ -824,11 +993,16 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
                 uz = jnp.where(refill, fuz, uz)
                 tau_rem = jnp.where(refill, 0.0, tau_rem)
                 orders = jnp.where(refill, 0, orders)
+                if gas_mode:
+                    u_g = jax.random.uniform(
+                        jax.random.fold_in(key, -kb - 1 - (1 << 24)), (L,),
+                        dtype=jnp.float32)
+                    tgas = jnp.where(refill, exponential_deviate(u_g), tgas)
                 launched = launched + jnp.sum(refill.astype(jnp.int32))
                 alive = alive | refill
             st = (alive, x, y, z, ux, uy, uz, tau_rem, orders, pk,
-                  bad, evct, acc_int)
-            if use_pallas:
+                  bad, evct, acc_int) + ((tgas,) if gas_mode else ())
+            if use_pallas and pallas_ok:
                 kd = jax.lax.bitcast_convert_type(
                     jax.random.key_data(jax.random.fold_in(key, kb)),
                     jnp.int32).ravel()
@@ -842,7 +1016,7 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
                 for j in range(K):
                     u = jax.random.uniform(jax.random.fold_in(key, kb * K + j),
                                            (n_draws, L), dtype=jnp.float32)
-                    st = fast_event(u, st)
+                    st = fast_event(u, st, gas=gas_eval)
             return kb + 1, launched, st, columns
 
         def cond(carry):
@@ -852,6 +1026,10 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
         acc_int0 = jnp.zeros((n_cols, D) if D else (1, 1), jnp.float32)
         st = (alive, x, y, z, ux, uy, uz, jnp.zeros(L, jnp.float32),
               zeros_i, zeros_i, zeros_i, zeros_i, acc_int0)
+        if gas_mode:
+            tgas0 = exponential_deviate(jax.random.uniform(
+                jax.random.fold_in(key, 0x7A57A5), (L,), dtype=jnp.float32))
+            st = st + (tgas0,)
         kb, launched, st, columns = jax.lax.while_loop(
             cond, body, (jnp.int32(0), launched, st, columns))
         columns, _ = flush(columns, st[9], st[1], st[2])
@@ -870,7 +1048,8 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
             intensity = by_comp = zero0
         return RawTallies(
             flux_up=columns[:, 0], flux_down=columns[:, 1],
-            flux_absorbed=columns[:, 2] if absorbing else zero_cols,
+            flux_absorbed=(columns[:, 2] if absorbing or gas_mode
+                           else zero_cols),
             volume_absorption=jnp.zeros(n_cols * n_z, jnp.float32),
             intensity=intensity, intensity_by_component=by_comp,
             intensity_excess=jnp.zeros(D * 2 if D else 0, jnp.float32),

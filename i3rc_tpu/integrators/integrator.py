@@ -267,6 +267,12 @@ class Integrator:
         Eligible workloads dispatch to the fused elementwise fastpath
         (integrators/fastpath.py); anything it can't express — spectral
         optics overrides included — uses the general wavefront kernel.
+        (The fastpath CAN trace a gas-channel override — traced per-k
+        values through one executable, tests/test_external_validation.py —
+        but measured SLOWER than the general kernel on TPU: traced chain
+        values can't compress, so every z layer becomes a segment face and
+        events/photon balloon.  Overrides therefore stay general; the
+        baked gas channel keeps the fastpath for monochromatic runs.)
         """
         from i3rc_tpu.integrators.fastpath import fast_plan, make_fast_tracer
 

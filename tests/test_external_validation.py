@@ -131,6 +131,91 @@ def test_pallas_fastpath_slab_vs_oracle(ssa):
         1.0 - r_ex - t_ex, abs=3 * sigma)
 
 
+def _gas_slab(tau_cloud, tau_gas, nz=8):
+    """Cloud slab + horizontally-uniform pure-absorber gas component."""
+    from i3rc_tpu.core.optics import Domain
+    from i3rc_tpu.core.phase_functions import (
+        PhaseFunction, PhaseFunctionTable, henyey_greenstein_coefficients)
+    from i3rc_tpu.integrators.spectral import domain_with_gas_component
+
+    pf = PhaseFunction.from_legendre(henyey_greenstein_coefficients(0.85, 64))
+    table = PhaseFunctionTable.from_phase_functions([pf], key=[1.0])
+    base = Domain.create([0, 500.], [0, 500.], np.linspace(0, 250, nz + 1))
+    ext = np.full((1, 1, nz), tau_cloud / 250.0)
+    base = base.add_component("cloud", ext, np.ones_like(ext),
+                              np.zeros(ext.shape, np.int32), table)
+    return base, domain_with_gas_component(
+        base, np.full(nz, tau_gas / 250.0))
+
+
+@pytest.mark.parametrize("tau_gas,pallas", [(0.5, False), (0.5, True)])
+def test_gas_channel_slab_vs_oracle(tau_gas, pallas):
+    """Gas-channel fastpath vs the oracle for the COMBINED medium: a
+    uniform cloud (tau_c, ssa 1, HG) plus uniform gas absorber (tau_g) is
+    exactly an HG slab with tau = tau_c + tau_g, ssa = tau_c / tau."""
+    n = 1 << 16
+    _, dom = _gas_slab(1.0, tau_gas)
+    cfg = IntegratorConfig(use_ray_tracing=False, max_events=2000,
+                           compute_volume_absorption=False,
+                           use_pallas_fastpath=pallas or None)
+    integ = Integrator.create(dom, config=cfg)
+    from i3rc_tpu.integrators.fastpath import fast_plan
+    plan = fast_plan(integ.geometry, integ._flat, integ.optics,
+                     integ.surface, integ.intensity, integ.config)
+    assert plan is not None and plan.gas_factor is not None
+    res = integ.batch_fn(PhotonSource.directional(0.5, 0.0), n)(
+        jax.random.PRNGKey(11))
+    tau_t = 1.0 + tau_gas
+    r_ex, t_ex = hg_slab_fluxes(tau_t, 1.0 / tau_t, 0.85, 0.5, n_legendre=64)
+    sigma = np.sqrt(max(r_ex * (1 - r_ex), t_ex * (1 - t_ex)) / n)
+    assert float(res.mean_flux_up) == pytest.approx(r_ex, abs=3 * sigma)
+    assert float(res.mean_flux_down) == pytest.approx(t_ex, abs=3 * sigma)
+    assert float(res.mean_flux_absorbed) == pytest.approx(
+        1.0 - r_ex - t_ex, abs=3 * sigma)
+
+
+def test_gas_override_spectral_path_vs_oracle():
+    """The fastpath's gas-channel override: per-k gas profiles ride through
+    ONE executable as traced chain values.  (The Integrator routes spectral
+    overrides to the general kernel — traced values can't compress, so this
+    path measured slower on TPU — but the machinery stays correct and
+    available; driven directly here.)"""
+    from i3rc_tpu.core.optics import flatten_optics
+    from i3rc_tpu.integrators.fastpath import fast_plan, make_fast_tracer
+    from i3rc_tpu.integrators.integrator import device_optics_from_flat
+    from i3rc_tpu.integrators.spectral import domain_with_gas_component
+
+    n = 1 << 16
+    base, dom0 = _gas_slab(1.0, 0.5)
+    cfg = IntegratorConfig(use_ray_tracing=False, max_events=2000,
+                           compute_volume_absorption=False)
+    integ = Integrator.create(dom0, config=cfg)
+    plan = fast_plan(integ.geometry, integ._flat, integ.optics,
+                     integ.surface, integ.intensity, integ.config)
+    assert plan is not None and plan.gas_factor is not None
+    tracer = make_fast_tracer(integ.geometry, plan, integ.config, n)
+    src = PhotonSource.directional(0.5, 0.0)
+
+    @jax.jit
+    def run(key, opt):
+        batch = src.sample(key, n)
+        return tracer(key, batch, src, optics_override=opt)
+
+    for tg in (1.0, 0.1):
+        dom_k = domain_with_gas_component(base, np.full(8, tg / 250.0))
+        opt_k = device_optics_from_flat(flatten_optics(dom_k),
+                                        cfg.majorant_block_size)
+        raw = run(jax.random.PRNGKey(7), opt_k)
+        fup = float(np.asarray(raw.flux_up).sum()) / n
+        fdn = float(np.asarray(raw.flux_down).sum()) / n
+        tau_t = 1.0 + tg
+        r_ex, t_ex = hg_slab_fluxes(tau_t, 1.0 / tau_t, 0.85, 0.5,
+                                    n_legendre=64)
+        sigma = np.sqrt(max(r_ex * (1 - r_ex), t_ex * (1 - t_ex)) / n)
+        assert fup == pytest.approx(r_ex, abs=3 * sigma)
+        assert fdn == pytest.approx(t_ex, abs=3 * sigma)
+
+
 # ---------------------------------------------------------------------------
 # Frozen I3RC benchmark anchors (regression gates at the test photon budget)
 # ---------------------------------------------------------------------------

@@ -210,6 +210,46 @@ def test_fastpath_absorbing_radiance_matches_general_kernel():
     np.testing.assert_allclose(i_f, i_g, rtol=0.06)
 
 
+def test_gas_channel_eligibility_and_closure():
+    """Cloud + horizontally-uniform pure absorber elects the gas-channel
+    fastpath; weight budget closes; physics is gated against the
+    combined-medium oracle in test_external_validation.py."""
+    from i3rc_tpu.core.optics import Domain
+    from i3rc_tpu.core.phase_functions import (
+        PhaseFunction, PhaseFunctionTable, henyey_greenstein_coefficients)
+    from i3rc_tpu.integrators.integrator import Integrator
+    from i3rc_tpu.integrators.spectral import domain_with_gas_component
+
+    nz = 8
+    pf = PhaseFunction.from_legendre(henyey_greenstein_coefficients(0.85, 64))
+    table = PhaseFunctionTable.from_phase_functions([pf], key=[1.0])
+    base = Domain.create([0, 500.], [0, 500.], np.linspace(0, 250, nz + 1))
+    ext = np.full((1, 1, nz), 1.0 / 250.0)
+    base = base.add_component("cloud", ext, np.ones_like(ext),
+                              np.zeros(ext.shape, np.int32), table)
+    dom = domain_with_gas_component(base, np.full(nz, 0.5 / 250.0))
+    integ = Integrator.create(dom, config=IntegratorConfig(
+        use_ray_tracing=False, max_events=2000,
+        compute_volume_absorption=False))
+    plan = _plan(integ)
+    assert plan is not None and plan.gas_factor is not None
+    assert plan.gas_idx == 1 and plan.ssa == 1.0
+    # Uniform profile compresses to a single chain segment.
+    assert plan.gas_factor.n_ops == 0
+    n = 1 << 15
+    res = integ.batch_fn(PhotonSource.directional(0.5, 0.0), n)(
+        jax.random.PRNGKey(41))
+    total = float(res.mean_flux_up + res.mean_flux_down
+                  + res.mean_flux_absorbed)
+    assert total == pytest.approx(1.0, abs=1e-5)
+    # A spatially-varying second scatterer (not a gas shape) falls back.
+    dom2 = base.add_component(
+        "cloud2", np.linspace(1, 2, nz).reshape(1, 1, nz) / 250.0,
+        np.ones((1, 1, nz)), np.zeros((1, 1, nz), np.int32), table)
+    integ2 = Integrator.create(dom2, config=FAST_CFG)
+    assert _plan(integ2) is None
+
+
 def test_fastpath_refill_budget_exact():
     """n_photons >> lanes: every photon is launched and tallied exactly once."""
     n, lanes = 40000, 4096
