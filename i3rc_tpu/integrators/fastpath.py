@@ -29,7 +29,9 @@ block:
     Bernoulli survival sampling — at its absorption point), so deaths pend
     in per-lane registers (kind + column) and flush every K events — one
     small one-hot tally matmul and one refill cumsum per K-event block
-    instead of per event.
+    instead of per event.  Volume absorption (heating rates) rides the
+    same flush: kind-3 deaths tallied per fine cell from the frozen death
+    position.
 
 Eligibility is checked host-side (``fast_plan``); ineligible configurations
 fall back to the general kernel unchanged.  Expectations are identical to
@@ -278,8 +280,6 @@ def fast_plan(geom, flat, optics, surface, intensity, config) -> FastPlan | None
             or config.use_hybrid_phase_funs
             or config.limit_intensity_contributions):
         return None
-    if config.compute_volume_absorption:
-        return None
     if surface.uses_brdf or float(surface.albedo) != 0.0:
         return None
     if not (geom.xy_regular and geom.z_regular):
@@ -371,6 +371,18 @@ def fast_plan(geom, flat, optics, surface, intensity, config) -> FastPlan | None
         fx = fy = fz = trivial
     else:
         fx, fy, fz = factors
+
+    if config.compute_volume_absorption:
+        # Conservative media absorb nothing (the profile is identically
+        # zero — allowed for free).  Absorbing/gas runs tally kind-3
+        # deaths per fine cell at flush time: needs a feasible cell-keyed
+        # one-hot, so column media and very large grids keep the general
+        # kernel.
+        if uniform_ssa < 1.0 or gas_factor is not None:
+            if column_data is not None:
+                return None
+            if geom.n_x * geom.n_y * geom.n_z > (1 << 18):
+                return None
 
     detectors = ()
     shadow_steps = 0
@@ -915,7 +927,15 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
             # the unroll); v5e has headroom — 64 MB measured safe and fast.
             vmem_mb=int(os.environ.get("I3RC_PALLAS_VMEM_MB", "0")) or 64)
 
-    def flush(columns, pk, x, y):
+    # Per-cell absorption tally (heating rates): kind-3 deaths keyed by
+    # (column, layer) at flush time.  Same expectation as the general
+    # kernel's continuous (1-ssa)-weight deposit; one small one-hot per
+    # K-event block.
+    vol_tally = (getattr(config, "compute_volume_absorption", False)
+                 and (absorbing or gas_mode))
+    inv_dz_cell = np.float32(n_z / (z_max - z0))
+
+    def flush(columns, vol, pk, x, y, z):
         # The tally column comes from the frozen exit position (exits commit
         # the wrapped boundary point into x/y; absorptions the collision
         # point), so the event step never computes a per-event column index.
@@ -928,7 +948,12 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
         kinds = [(pk == 1), (pk == 2)] + (
             [(pk == 3)] if absorbing or gas_mode else [])
         vals = jnp.stack([k.astype(jnp.float32) for k in kinds], axis=1)
-        return tally_multi(columns, col, vals), jnp.zeros_like(pk)
+        if vol_tally:
+            iz = jnp.clip(((z - z0) * inv_dz_cell).astype(jnp.int32),
+                          0, n_z - 1)
+            vol = tally_multi(vol, col * n_z + iz,
+                              (pk == 3).astype(jnp.float32)[:, None])
+        return tally_multi(columns, col, vals), vol, jnp.zeros_like(pk)
 
     def trace(key, batch, source=None, optics_override=None):
         if optics_override is not None:
@@ -959,9 +984,11 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
         zeros_i = jnp.zeros(L, jnp.int32)
         columns = jnp.zeros((n_cols, 3 if absorbing or gas_mode else 2),
                             jnp.float32)
+        vol = jnp.zeros((n_cols * n_z, 1) if vol_tally else (1, 1),
+                        jnp.float32)
 
         def body(carry):
-            kb, launched, st, columns = carry
+            kb, launched, st, columns, vol = carry
             (alive, x, y, z, ux, uy, uz, tau_rem, orders, pk,
              bad, evct, acc_int) = st[:13]
             if gas_mode:
@@ -974,7 +1001,7 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
                                            jnp.float32(1e-12)))
             ux, uy, uz = ux * rn, uy * rn, uz * rn
             # Flush last block's deaths, then refill those lanes (FIFO).
-            columns, pk = flush(columns, pk, x, y)
+            columns, vol, pk = flush(columns, vol, pk, x, y, z)
             if n_photons > L:
                 # (Measured: gating this behind lax.cond(launched < n) to
                 # skip the drain-phase cumsum COSTS ~15% — the cond's tensor
@@ -1017,10 +1044,10 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
                     u = jax.random.uniform(jax.random.fold_in(key, kb * K + j),
                                            (n_draws, L), dtype=jnp.float32)
                     st = fast_event(u, st, gas=gas_eval)
-            return kb + 1, launched, st, columns
+            return kb + 1, launched, st, columns, vol
 
         def cond(carry):
-            kb, launched, st, _ = carry
+            kb, launched, st, _, _ = carry
             return (jnp.any(st[0]) | (launched < n_photons)) & (kb < max_blocks)
 
         acc_int0 = jnp.zeros((n_cols, D) if D else (1, 1), jnp.float32)
@@ -1030,9 +1057,9 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
             tgas0 = exponential_deviate(jax.random.uniform(
                 jax.random.fold_in(key, 0x7A57A5), (L,), dtype=jnp.float32))
             st = st + (tgas0,)
-        kb, launched, st, columns = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), launched, st, columns))
-        columns, _ = flush(columns, st[9], st[1], st[2])
+        kb, launched, st, columns, vol = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), launched, st, columns, vol))
+        columns, vol, _ = flush(columns, vol, st[9], st[1], st[2], st[3])
         # Lanes alive at the block cap vanish with their weight: count bad.
         n_bad = jnp.sum(st[10] + st[0].astype(jnp.int32))
 
@@ -1050,7 +1077,8 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
             flux_up=columns[:, 0], flux_down=columns[:, 1],
             flux_absorbed=(columns[:, 2] if absorbing or gas_mode
                            else zero_cols),
-            volume_absorption=jnp.zeros(n_cols * n_z, jnp.float32),
+            volume_absorption=(vol[:, 0] if vol_tally
+                               else jnp.zeros(n_cols * n_z, jnp.float32)),
             intensity=intensity, intensity_by_component=by_comp,
             intensity_excess=jnp.zeros(D * 2 if D else 0, jnp.float32),
             n_photons=jnp.int32(n_photons), n_bad=n_bad,

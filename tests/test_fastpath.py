@@ -53,8 +53,6 @@ def test_step_cloud_is_eligible():
 @pytest.mark.parametrize("kwargs,cfg", [
     # ray tracing transport is not expressible
     (dict(), IntegratorConfig(use_ray_tracing=True)),
-    # volume absorption needs per-event cell tallies
-    (dict(), IntegratorConfig(use_ray_tracing=False, compute_volume_absorption=True)),
     # reflecting surface: photons tally more than once
     (dict(surface_albedo=0.2), FAST_CFG),
     # non-default radiance estimators use the general local-estimate machinery
@@ -71,6 +69,44 @@ def test_step_cloud_is_eligible():
 def test_ineligible_configs_fall_back(kwargs, cfg):
     integ = _step_cloud(cfg, **kwargs)
     assert _plan(integ) is None
+
+
+def test_volume_absorption_on_fastpath():
+    """compute_volume_absorption elects the fastpath: conservative media
+    give the identically-zero profile for free; absorbing media tally
+    kind-3 deaths per fine cell at flush time.  The per-column layer sums
+    must reproduce flux_absorbed EXACTLY (same deaths, two keys)."""
+    from i3rc_tpu.models.step_cloud import make_step_cloud
+    from i3rc_tpu.integrators.integrator import Integrator
+
+    n = 1 << 15
+    src = PhotonSource.directional(0.5, 0.0)
+    cfg = IntegratorConfig(use_ray_tracing=False, max_events=500,
+                           compute_volume_absorption=True)
+    cons = Integrator.create(make_step_cloud(1.0), config=cfg)
+    assert _plan(cons) is not None
+    r = cons.batch_fn(src, n)(jax.random.PRNGKey(1))
+    assert float(np.abs(np.asarray(r.volume_absorption)).max()) == 0.0
+
+    integ = Integrator.create(make_step_cloud(0.99), config=cfg)
+    assert _plan(integ) is not None
+    r = integ.batch_fn(src, n)(jax.random.PRNGKey(2))
+    vol = np.asarray(r.volume_absorption)        # (nx, ny, nz), per meter
+    np.testing.assert_allclose(vol.sum(axis=2) * (250.0 / 32),
+                               np.asarray(r.flux_absorbed), rtol=1e-5)
+    # Profile shape agrees with the general kernel's continuous deposit.
+    gen = Integrator.create(make_step_cloud(0.99), config=IntegratorConfig(
+        use_ray_tracing=False, max_events=500,
+        compute_volume_absorption=True, majorant_block_size=16,
+        use_fastpath=False))
+    rg = gen.batch_fn(src, n)(jax.random.PRNGKey(3))
+    pf, pg = np.asarray(r.absorbed_profile), np.asarray(rg.absorbed_profile)
+    # Bernoulli-death tally has ~binomial noise per layer; 8 sigma of the
+    # largest layer bounds the whole profile comfortably at this budget.
+    dz = 250.0 / 32
+    np.testing.assert_allclose(pf, pg,
+                               atol=8 * np.sqrt((pg * dz / n)).max() / dz
+                               + 5e-7)
 
 
 def test_absorbing_cloud_is_eligible():
