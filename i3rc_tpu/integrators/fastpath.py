@@ -1,4 +1,4 @@
-"""Fused elementwise transport fastpath (flux, separable optics, black surface).
+"""Fused elementwise transport fastpath (flux, separable optics, HG phase).
 
 Motivation (measured on TPU v5e, see PERF_NOTES.md): the general wavefront
 kernel (integrators/wavefront.py) spends most of each event iteration on
@@ -23,15 +23,15 @@ block:
     tabulated piecewise-cubic inverse CDF (detected from Legendre moments
     xi_l = g^l; the general path samples the same distribution through a
     256-segment cubic fit of the truncated expansion).
-  * Tallies and lane refill are DEFERRED: a photon over a black surface has
-    weight exactly 1 and tallies exactly once (at its exit, or — for
-    absorbing media, where collisions kill with probability 1-ssa by
-    Bernoulli survival sampling — at its absorption point), so deaths pend
-    in per-lane registers (kind + column) and flush every K events — one
-    small one-hot tally matmul and one refill cumsum per K-event block
-    instead of per event.  Volume absorption (heating rates) rides the
-    same flush: kind-3 deaths tallied per fine cell from the frozen death
-    position.
+  * Tallies and lane refill are DEFERRED: every photon keeps weight
+    exactly 1 for its whole life — absorption (1-ssa), gas extinction, and
+    surface reflection (albedo A) are all Bernoulli survival events — so a
+    photon tallies once at its death (exit kind + column pend in per-lane
+    registers) and the flush runs every K events: one small one-hot tally
+    matmul and one refill cumsum per K-event block instead of per event.
+    Volume absorption (heating rates) rides the same flush (kind-3 deaths
+    keyed by fine cell); reflecting surfaces add one eager Fdn accumulator
+    tally per event (XLA path only), since bottom crossings recur.
 
 Eligibility is checked host-side (``fast_plan``); ineligible configurations
 fall back to the general kernel unchanged.  Expectations are identical to
@@ -53,6 +53,7 @@ import numpy as np
 from i3rc_tpu.core.rng import TINY, exponential_deviate
 from i3rc_tpu.integrators.wavefront import (
     RawTallies,
+    _sincos_2pi,
     make_direction_cosines,
     rotate_direction,
 )
@@ -254,6 +255,12 @@ class FastPlan:
     # see trace(optics_override)); gas_idx is the component slot.
     gas_factor: object = None
     gas_idx: int = -1
+    # Lambertian surface albedo.  > 0 keeps weight-1 photons by Bernoulli:
+    # every bottom hit tallies Fdn eagerly (per-event accumulator — the
+    # XLA path only; Pallas requires a black surface), then the photon
+    # reflects with probability A (mu = sqrt(u), uniform azimuth,
+    # NEXT_DIRECT's Lambertian draw) or dies silently (kind 4).
+    surface_albedo: float = 0.0
 
 
 def fast_plan(geom, flat, optics, surface, intensity, config) -> FastPlan | None:
@@ -262,9 +269,9 @@ def fast_plan(geom, flat, optics, surface, intensity, config) -> FastPlan | None
     Requirements (everything else uses the general wavefront kernel):
     single-component optics with uniform ssa in (0, 1] and one HG phase
     function — optionally plus a horizontally-uniform pure-absorber second
-    component (the spectral gas shape; see FastPlan.gas_factor) — black
-    Lambertian surface, non-ray-tracing transport, regular grid, separable
-    few-segment extinction.  Radiance detectors are supported with the
+    component (the spectral gas shape; see FastPlan.gas_factor) — a
+    Lambertian surface (any albedo; BRDFs go general), non-ray-tracing
+    transport, regular grid, separable few-segment extinction.  Radiance detectors are supported with the
     default estimator configuration (exact transmittance traces — no
     Iwabuchi roulette, ratio tracking, hybrid phase functions, or clipping;
     the segment traces are cheap enough that the exact estimator is both
@@ -280,7 +287,14 @@ def fast_plan(geom, flat, optics, surface, intensity, config) -> FastPlan | None
             or config.use_hybrid_phase_funs
             or config.limit_intensity_contributions):
         return None
-    if surface.uses_brdf or float(surface.albedo) != 0.0:
+    if surface.uses_brdf:
+        return None
+    surface_albedo = float(surface.albedo)
+    if not (0.0 <= surface_albedo <= 1.0):
+        return None
+    if surface_albedo > 0.0 and intensity is not None:
+        # Surface contributions to local-estimate radiance (component 0,
+        # 1/pi normalization) are general-kernel-only for now.
         return None
     if not (geom.xy_regular and geom.z_regular):
         return None
@@ -364,6 +378,8 @@ def fast_plan(geom, flat, optics, surface, intensity, config) -> FastPlan | None
             return None
         if gas_factor is not None:  # gas rides the separable path only
             return None
+        if surface_albedo > 0.0:    # eager Fdn tally too wide per event
+            return None
         column_data = column_structure(flat.total_ext, np.asarray(geom.z_edges))
         if column_data is None:
             return None
@@ -416,7 +432,8 @@ def fast_plan(geom, flat, optics, surface, intensity, config) -> FastPlan | None
                     hg_g=g, unroll=int(getattr(config, "fastpath_unroll", 8)),
                     detectors=detectors, shadow_steps=shadow_steps,
                     column_data=column_data, ssa=uniform_ssa,
-                    gas_factor=gas_factor, gas_idx=gas_idx)
+                    gas_factor=gas_factor, gas_idx=gas_idx,
+                    surface_albedo=surface_albedo)
 
 
 # ---------------------------------------------------------------------------
@@ -608,6 +625,15 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
     # uniform; absorbed photons die with pending kind 3.
     absorbing = plan.ssa < 1.0
     n_draws = 4 if absorbing else 3
+    # Reflecting Lambertian surface (see FastPlan.surface_albedo): bottom
+    # hits tally Fdn eagerly into the acc accumulator (reuses the acc_int
+    # state slot — detectors are declined when A > 0), then reflect with
+    # probability A (3 extra draws: Bernoulli, mu^2, azimuth) or die kind 4
+    # (silent: Fdn already counted; nothing else to tally).
+    reflecting = plan.surface_albedo > 0.0
+    refl_base = n_draws
+    if reflecting:
+        n_draws += 3
     # Gas channel (see FastPlan.gas_factor): per-lane exponential gas-tau
     # threshold (tgas, state slot 13) consumed along every traveled step;
     # crossing it is a kind-3 death at the crossing point.  The chain
@@ -753,6 +779,8 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
             sign_y = jnp.where(up_y, nudge_y, -nudge_y)
         moving = alive
         collided = jnp.zeros_like(alive)
+        if reflecting:
+            hitb = jnp.zeros_like(alive)
         for _ in range(MARCH):
             if column_mode:
                 # One factored one-hot read per event fetches the lane's
@@ -838,7 +866,13 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
 
             exit_top = cross & (nzp >= z_max)
             exit_bot = cross & ~exit_top & (nzp <= z0)
-            pk = jnp.where(exit_top, 1, jnp.where(exit_bot, 2, pk))
+            if reflecting:
+                # Bottom arrivals resolve after the march loop (eager Fdn
+                # tally + Bernoulli reflection); they stop moving here.
+                hitb = hitb | exit_bot
+                pk = jnp.where(exit_top, 1, pk)
+            else:
+                pk = jnp.where(exit_top, 1, jnp.where(exit_bot, 2, pk))
             if gas_mode:
                 pk = jnp.where(gas_die, 3, pk)
             tau_rem = jnp.where(cross, tau_rem - s_bnd * ext,
@@ -853,6 +887,34 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
                 y = jnp.where(moving, nyp, y)
             collided = collided | collide_m
             moving = cross & ~exit_top & ~exit_bot
+
+        if reflecting:
+            # Bottom hits: Fdn tallied eagerly at the frozen hit column
+            # (acc_int doubles as the surface accumulator; no detectors
+            # when A > 0), then the Lambertian Bernoulli: reflect with
+            # probability A drawing mu = sqrt(u) clamped away from grazing
+            # and a uniform azimuth (NEXT_DIRECT's surface draw,
+            # monteCarloRadiativeTransfer.f95:542-549), else die silently
+            # (kind 4 — Fdn is already counted, nothing else tallies).
+            ixh = jnp.clip(((x - x0) * inv_dx).astype(jnp.int32), 0, n_x - 1)
+            if track_y and n_y > 1:
+                iyh = jnp.clip(((y - y0) * inv_dy).astype(jnp.int32),
+                               0, n_y - 1)
+                colh = ixh * n_y + iyh
+            else:
+                colh = ixh
+            acc_int = tally_multi(acc_int, colh,
+                                  hitb.astype(jnp.float32)[:, None])
+            die_s = hitb & (u[refl_base] >= jnp.float32(plan.surface_albedo))
+            pk = jnp.where(die_s, 4, pk)
+            reflect = hitb & ~die_s
+            mu_r = jnp.maximum(jnp.sqrt(u[refl_base + 1]), jnp.float32(1e-6))
+            sin_r = jnp.sqrt(jnp.maximum(1.0 - u[refl_base + 1], 0.0))
+            sch, cch = _sincos_2pi(u[refl_base + 2])
+            ux = jnp.where(reflect, sin_r * cch, ux)
+            uy = jnp.where(reflect, sin_r * sch, uy)
+            uz = jnp.where(reflect, mu_r, uz)
+            z = jnp.where(hitb, z0 + nudge_z, z)  # dead lanes: never read
 
         if absorbing:
             # Bernoulli absorption at the collision (see FastPlan.ssa):
@@ -888,7 +950,8 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
         uy = jnp.where(collided, nuy, uy)
         uz = jnp.where(collided, nuz, uz)
 
-        orders = orders + collided.astype(jnp.int32)
+        orders = orders + ((collided | hitb) if reflecting
+                           else collided).astype(jnp.int32)
         over = alive & (orders >= max_events)
         # Per-lane counters, reduced once per batch: a cross-lane sum here
         # would break the event step's single-fusion structure.
@@ -913,7 +976,7 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
     if want_pallas is None:
         want_pallas = jax.default_backend() == "tpu"
     use_pallas = (want_pallas and D == 0 and not column_mode
-                  and L % 1024 == 0)
+                  and not reflecting and L % 1024 == 0)
     if use_pallas:
         import os
         pallas_block = _build_pallas_block(
@@ -1050,7 +1113,9 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
             kb, launched, st, _, _ = carry
             return (jnp.any(st[0]) | (launched < n_photons)) & (kb < max_blocks)
 
-        acc_int0 = jnp.zeros((n_cols, D) if D else (1, 1), jnp.float32)
+        acc_int0 = jnp.zeros((n_cols, D) if D else
+                             ((n_cols, 1) if reflecting else (1, 1)),
+                             jnp.float32)
         st = (alive, x, y, z, ux, uy, uz, jnp.zeros(L, jnp.float32),
               zeros_i, zeros_i, zeros_i, zeros_i, acc_int0)
         if gas_mode:
@@ -1073,8 +1138,13 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
                                 axis=1).reshape(n_cols * D * 2)
         else:
             intensity = by_comp = zero0
+        fdn = columns[:, 1]
+        if reflecting:
+            # Bottom-boundary flux lives in the eager accumulator (kind 2
+            # is never written when A > 0).
+            fdn = fdn + st[12][:, 0]
         return RawTallies(
-            flux_up=columns[:, 0], flux_down=columns[:, 1],
+            flux_up=columns[:, 0], flux_down=fdn,
             flux_absorbed=(columns[:, 2] if absorbing or gas_mode
                            else zero_cols),
             volume_absorption=(vol[:, 0] if vol_tally

@@ -53,8 +53,10 @@ def test_step_cloud_is_eligible():
 @pytest.mark.parametrize("kwargs,cfg", [
     # ray tracing transport is not expressible
     (dict(), IntegratorConfig(use_ray_tracing=True)),
-    # reflecting surface: photons tally more than once
-    (dict(surface_albedo=0.2), FAST_CFG),
+    # reflecting surface + detectors: surface radiance contributions are
+    # general-kernel-only
+    (dict(surface_albedo=0.2, intensity_mus=[0.5], intensity_phis=[0.0]),
+     IntegratorConfig(use_ray_tracing=False, compute_volume_absorption=False)),
     # non-default radiance estimators use the general local-estimate machinery
     (dict(intensity_mus=[0.5], intensity_phis=[0.0]),
      IntegratorConfig(use_ray_tracing=False, compute_volume_absorption=False,
@@ -69,6 +71,49 @@ def test_step_cloud_is_eligible():
 def test_ineligible_configs_fall_back(kwargs, cfg):
     integ = _step_cloud(cfg, **kwargs)
     assert _plan(integ) is None
+
+
+def test_reflecting_surface_on_fastpath():
+    """Lambertian albedo > 0: every bottom hit tallies Fdn eagerly, then
+    Bernoulli reflection (prob A) or silent death.  Transparent domain:
+    Fdn == 1 exactly (each photon hits once), Fup == A statistically."""
+    from i3rc_tpu.core.optics import Domain
+    from i3rc_tpu.core.phase_functions import (
+        PhaseFunction, PhaseFunctionTable, henyey_greenstein_coefficients)
+    from i3rc_tpu.integrators.integrator import Integrator
+    from i3rc_tpu.models.step_cloud import make_step_cloud
+
+    table = PhaseFunctionTable.from_phase_functions(
+        [PhaseFunction.from_legendre(henyey_greenstein_coefficients(0.85, 64))],
+        key=[1.0])
+    dom = Domain.create([0, 500.0], [0, 500.0], [0.0, 250.0])
+    ext = np.full((1, 1, 1), 1e-9)
+    dom = dom.add_component("thin", ext, np.ones_like(ext),
+                            np.zeros(ext.shape, np.int32), table)
+    n = 1 << 17
+    integ = Integrator.create(dom, config=FAST_CFG, surface_albedo=0.4)
+    assert _plan(integ) is not None
+    assert _plan(integ).surface_albedo == pytest.approx(0.4)
+    res = integ.batch_fn(PhotonSource.directional(0.7, 30.0), n)(
+        jax.random.PRNGKey(4))
+    sig = np.sqrt(0.4 * 0.6 / n)
+    assert float(res.mean_flux_down) == pytest.approx(1.0, abs=1e-4)
+    assert float(res.mean_flux_up) == pytest.approx(0.4, abs=4 * sig)
+    # Step cloud + A=0.2 vs the general kernel (4-sigma two-sample).
+    src = PhotonSource.directional(0.5, 0.0)
+    f = Integrator.create(make_step_cloud(1.0), config=FAST_CFG,
+                          surface_albedo=0.2)
+    g = Integrator.create(make_step_cloud(1.0), config=IntegratorConfig(
+        use_ray_tracing=False, max_events=500,
+        compute_volume_absorption=False, majorant_block_size=16,
+        use_fastpath=False), surface_albedo=0.2)
+    rf = f.batch_fn(src, n)(jax.random.PRNGKey(8))
+    rg = g.batch_fn(src, n)(jax.random.PRNGKey(9))
+    s2 = np.sqrt(2 * 0.25 / n)
+    assert float(rf.mean_flux_up) == pytest.approx(
+        float(rg.mean_flux_up), abs=4 * s2)
+    assert float(rf.mean_flux_down) == pytest.approx(
+        float(rg.mean_flux_down), abs=4 * s2)
 
 
 def test_volume_absorption_on_fastpath():
