@@ -116,6 +116,36 @@ def test_reflecting_surface_on_fastpath():
         float(rg.mean_flux_down), abs=4 * s2)
 
 
+def test_absorbing_reflecting_volume_combo():
+    """All three Bernoulli estimators stacked (ssa<1 + albedo>0 + per-cell
+    absorption tally) against the general kernel, plus the exact
+    flux/volume identity."""
+    from i3rc_tpu.models.step_cloud import make_step_cloud
+    from i3rc_tpu.integrators.integrator import Integrator
+
+    n = 1 << 16
+    src = PhotonSource.directional(0.5, 0.0)
+    f = Integrator.create(make_step_cloud(0.99), config=IntegratorConfig(
+        use_ray_tracing=False, max_events=500,
+        compute_volume_absorption=True), surface_albedo=0.3)
+    plan = _plan(f)
+    assert plan is not None and plan.surface_albedo == pytest.approx(0.3)
+    assert plan.ssa == pytest.approx(0.99)
+    g = Integrator.create(make_step_cloud(0.99), config=IntegratorConfig(
+        use_ray_tracing=False, max_events=500,
+        compute_volume_absorption=True, majorant_block_size=16,
+        use_fastpath=False), surface_albedo=0.3)
+    rf = f.batch_fn(src, n)(jax.random.PRNGKey(18))
+    rg = g.batch_fn(src, n)(jax.random.PRNGKey(19))
+    s2 = np.sqrt(2 * 0.25 / n)
+    for name in ("mean_flux_up", "mean_flux_down", "mean_flux_absorbed"):
+        assert float(getattr(rf, name)) == pytest.approx(
+            float(getattr(rg, name)), abs=5 * s2), name
+    vol = np.asarray(rf.volume_absorption)
+    np.testing.assert_allclose(vol.sum(axis=2) * (250.0 / 32),
+                               np.asarray(rf.flux_absorbed), rtol=1e-5)
+
+
 def test_volume_absorption_on_fastpath():
     """compute_volume_absorption elects the fastpath: conservative media
     give the identically-zero profile for free; absorbing media tally
