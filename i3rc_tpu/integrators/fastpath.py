@@ -255,6 +255,13 @@ class FastPlan:
     # see trace(optics_override)); gas_idx is the component slot.
     gas_factor: object = None
     gas_idx: int = -1
+    # Non-HG single-entry phase function: (n_segments, 4) piecewise-cubic
+    # inverse-CDF coefficients (tables.build_inverse_cubic — the same
+    # mu(p) fit the general kernel samples from, ~3e-7 accurate).  None
+    # for exact-HG tables (the analytic inversion is cheaper and exact).
+    # XLA path only; no radiance detectors (phase VALUES would need the
+    # forward table too).
+    cubic: object = None
     # Lambertian surface albedo.  > 0 keeps weight-1 photons by Bernoulli:
     # every bottom hit tallies Fdn eagerly (per-event accumulator — the
     # XLA path only; Pallas requires a black surface), then the photon
@@ -365,8 +372,20 @@ def fast_plan(geom, flat, optics, surface, intensity, config) -> FastPlan | None
         cloud_field = flat.total_ext
     else:
         return None
+    cubic = None
     if g is None or g == 0.0:
-        return None
+        # Not (exactly) Henyey-Greenstein: single-entry tables sample the
+        # same piecewise-cubic mu(p) inverse-CDF fit as the general kernel
+        # (one small one-hot row read per event — XLA path only).  Radiance
+        # detectors additionally need phase VALUES: general kernel.
+        if (optics.n_components != 1 or gas_factor is not None
+                or intensity is not None
+                or len(flat.forward_tables[0].phase_functions) != 1):
+            return None
+        from i3rc_tpu.integrators.tables import build_inverse_cubic
+
+        cubic = np.asarray(build_inverse_cubic(flat)[0, 0], np.float32)
+        g = 0.0
     factors = separable_factors(cloud_field, np.asarray(geom.x_edges),
                                 np.asarray(geom.y_edges), np.asarray(geom.z_edges))
     if factors is not None and (factors[0].n_ops + factors[1].n_ops
@@ -433,7 +452,7 @@ def fast_plan(geom, flat, optics, surface, intensity, config) -> FastPlan | None
                     detectors=detectors, shadow_steps=shadow_steps,
                     column_data=column_data, ssa=uniform_ssa,
                     gas_factor=gas_factor, gas_idx=gas_idx,
-                    surface_albedo=surface_albedo)
+                    cubic=cubic, surface_albedo=surface_albedo)
 
 
 # ---------------------------------------------------------------------------
@@ -605,6 +624,11 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
     n_cols = n_x * n_y
 
     fx, fy, fz = plan.fx, plan.fy, plan.fz
+    table_mode = plan.cubic is not None
+    if table_mode:
+        from i3rc_tpu.ops.gather import read_rows as _read_rows_cubic
+        cubic_table = jnp.asarray(plan.cubic)          # (n_segments, 4)
+        n_seg_cubic = int(plan.cubic.shape[0])
 
     def _inv_factor(f: StepFactor) -> StepFactor:
         # Reciprocal-value chain (zero segments -> 0; masked by ext > 0).
@@ -941,7 +965,18 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
                                   for j in range(D)], axis=1)
                 acc_int = tally_multi(acc_int, col_d, vals)
 
-        cos_scat = hg_cosine(plan.hg_g, u[1])
+        if table_mode:
+            # Piecewise-cubic inverse CDF (the general kernel's mu(p) fit,
+            # wavefront.sample_cos_scat): one 4-wide one-hot row read.
+            pos = jnp.clip(u[1], 0.0, 1.0) * n_seg_cubic
+            seg = jnp.clip(pos.astype(jnp.int32), 0, n_seg_cubic - 1)
+            t_c = pos - seg.astype(pos.dtype)
+            c = _read_rows_cubic(cubic_table, seg)
+            cos_scat = jnp.clip(
+                ((c[:, 3] * t_c + c[:, 2]) * t_c + c[:, 1]) * t_c + c[:, 0],
+                -1.0, 1.0)
+        else:
+            cos_scat = hg_cosine(plan.hg_g, u[1])
         # Renormalization deferred to the per-block glue (see body/renorm):
         # saves an rsqrt in the hot kernel; drift is ~1e-7 per rotation.
         nux, nuy, nuz = rotate_direction(ux, uy, uz, cos_scat, u[2],
@@ -976,7 +1011,7 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
     if want_pallas is None:
         want_pallas = jax.default_backend() == "tpu"
     use_pallas = (want_pallas and D == 0 and not column_mode
-                  and not reflecting and L % 1024 == 0)
+                  and not reflecting and not table_mode and L % 1024 == 0)
     if use_pallas:
         import os
         pallas_block = _build_pallas_block(

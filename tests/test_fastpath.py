@@ -116,6 +116,44 @@ def test_reflecting_surface_on_fastpath():
         float(rg.mean_flux_down), abs=4 * s2)
 
 
+def test_tabulated_phase_on_fastpath():
+    """Non-HG single-entry tables (the Dermendjian C.1 from the radar
+    case) sample the piecewise-cubic inverse-CDF fit on the fastpath;
+    cross-checked against the general kernel on a uniform slab."""
+    from i3rc_tpu.core.optics import Domain
+    from i3rc_tpu.core.phase_functions import PhaseFunctionTable
+    from i3rc_tpu.integrators.integrator import Integrator
+    from i3rc_tpu.models.radar_cloud import load_c1_tabulated
+
+    table = PhaseFunctionTable.from_phase_functions([load_c1_tabulated()],
+                                                    key=[1.0])
+    dom = Domain.create([0, 500.0], [0, 500.0], np.linspace(0, 250, 5))
+    ext = np.full((1, 1, 4), 2.0 / 250.0)
+    dom = dom.add_component("cloud", ext, np.ones_like(ext),
+                            np.zeros(ext.shape, np.int32), table)
+    cfg = IntegratorConfig(use_ray_tracing=False, max_events=2000,
+                           compute_volume_absorption=False)
+    f = Integrator.create(dom, config=cfg)
+    plan = _plan(f)
+    assert plan is not None and plan.cubic is not None
+    assert plan.cubic.shape == (256, 4)
+    g = Integrator.create(dom, config=IntegratorConfig(
+        use_ray_tracing=False, max_events=2000,
+        compute_volume_absorption=False, majorant_block_size=4,
+        use_fastpath=False))
+    n = 1 << 16
+    src = PhotonSource.directional(0.5, 0.0)
+    rf = f.batch_fn(src, n)(jax.random.PRNGKey(5))
+    rg = g.batch_fn(src, n)(jax.random.PRNGKey(6))
+    s2 = np.sqrt(2 * 0.25 / n)
+    assert float(rf.mean_flux_up) == pytest.approx(float(rg.mean_flux_up),
+                                                   abs=4 * s2)
+    assert float(rf.mean_flux_up + rf.mean_flux_down) == pytest.approx(
+        1.0, abs=1e-4)
+    # Exact-HG tables keep the closed-form inversion (no cubic).
+    assert _plan(_step_cloud(FAST_CFG)).cubic is None
+
+
 def test_absorbing_reflecting_volume_combo():
     """All three Bernoulli estimators stacked (ssa<1 + albedo>0 + per-cell
     absorption tally) against the general kernel, plus the exact
