@@ -299,10 +299,6 @@ def fast_plan(geom, flat, optics, surface, intensity, config) -> FastPlan | None
     surface_albedo = float(surface.albedo)
     if not (0.0 <= surface_albedo <= 1.0):
         return None
-    if surface_albedo > 0.0 and intensity is not None:
-        # Surface contributions to local-estimate radiance (component 0,
-        # 1/pi normalization) are general-kernel-only for now.
-        return None
     if not (geom.xy_regular and geom.z_regular):
         return None
 
@@ -650,10 +646,12 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
     absorbing = plan.ssa < 1.0
     n_draws = 4 if absorbing else 3
     # Reflecting Lambertian surface (see FastPlan.surface_albedo): bottom
-    # hits tally Fdn eagerly into the acc accumulator (reuses the acc_int
-    # state slot — detectors are declined when A > 0), then reflect with
-    # probability A (3 extra draws: Bernoulli, mu^2, azimuth) or die kind 4
-    # (silent: Fdn already counted; nothing else to tally).
+    # hits tally Fdn eagerly into a dedicated acc_sfc accumulator, then
+    # reflect with probability A (3 extra draws: Bernoulli, mu^2, azimuth)
+    # or die kind 4 (silent: Fdn already counted; nothing else to tally).
+    # With detectors, surviving reflections also contribute A-expected
+    # weight-1 surface radiance (1/pi, direction-independent) through the
+    # same shadow traces into acc_srf (component slot 0).
     reflecting = plan.surface_albedo > 0.0
     refl_base = n_draws
     if reflecting:
@@ -784,10 +782,16 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
     def fast_event(u, st, gas=None):
         (alive, x, y, z, ux, uy, uz, tau_rem, orders, pk, bad, evct,
          acc_int) = st[:13]
+        idx_extra = 13
         if gas_mode:
-            tgas = st[13]
+            tgas = st[idx_extra]
+            idx_extra += 1
             gz_fn, inv_gz_fn, gas_face = gas if gas is not None \
                 else make_gas_eval()
+        if reflecting:
+            acc_sfc = st[idx_extra]
+            if D:
+                acc_srf = st[idx_extra + 1]
         tau_rem = jnp.where(tau_rem > 0.0, tau_rem, exponential_deviate(u[0]))
 
         # Exact local extinction (constant within the current segment box)
@@ -913,11 +917,10 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
             moving = cross & ~exit_top & ~exit_bot
 
         if reflecting:
-            # Bottom hits: Fdn tallied eagerly at the frozen hit column
-            # (acc_int doubles as the surface accumulator; no detectors
-            # when A > 0), then the Lambertian Bernoulli: reflect with
-            # probability A drawing mu = sqrt(u) clamped away from grazing
-            # and a uniform azimuth (NEXT_DIRECT's surface draw,
+            # Bottom hits: Fdn tallied eagerly at the frozen hit column,
+            # then the Lambertian Bernoulli: reflect with probability A
+            # drawing mu = sqrt(u) clamped away from grazing and a uniform
+            # azimuth (NEXT_DIRECT's surface draw,
             # monteCarloRadiativeTransfer.f95:542-549), else die silently
             # (kind 4 — Fdn is already counted, nothing else tallies).
             ixh = jnp.clip(((x - x0) * inv_dx).astype(jnp.int32), 0, n_x - 1)
@@ -927,18 +930,35 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
                 colh = ixh * n_y + iyh
             else:
                 colh = ixh
-            acc_int = tally_multi(acc_int, colh,
+            acc_sfc = tally_multi(acc_sfc, colh,
                                   hitb.astype(jnp.float32)[:, None])
             die_s = hitb & (u[refl_base] >= jnp.float32(plan.surface_albedo))
             pk = jnp.where(die_s, 4, pk)
             reflect = hitb & ~die_s
+            z = jnp.where(hitb, z0 + nudge_z, z)  # dead lanes: never read
+            if D:
+                # Surface radiance (component 0): Lambertian emission is
+                # direction-independent — weight-1 survivors contribute
+                # 1/pi x exp(-tau) at the shadow ray's exit column, the
+                # A-expectation of the general kernel's w*A/pi
+                # (computeIntensityContribution :1473-1480, :1509).
+                pos_ys = y if track_y else None
+                for d in range(D):
+                    if plan.detectors[d][2] <= 0.0:
+                        continue  # Lambertian emission is upward-only
+                    tau_d, col_d, okd = shadow_trace(d, reflect, x, pos_ys, z)
+                    contrib = jnp.where(
+                        okd, jnp.float32(1.0 / np.pi) * jnp.exp(-tau_d), 0.0)
+                    vals = jnp.stack(
+                        [contrib if j == d else jnp.zeros_like(contrib)
+                         for j in range(D)], axis=1)
+                    acc_srf = tally_multi(acc_srf, col_d, vals)
             mu_r = jnp.maximum(jnp.sqrt(u[refl_base + 1]), jnp.float32(1e-6))
             sin_r = jnp.sqrt(jnp.maximum(1.0 - u[refl_base + 1], 0.0))
             sch, cch = _sincos_2pi(u[refl_base + 2])
             ux = jnp.where(reflect, sin_r * cch, ux)
             uy = jnp.where(reflect, sin_r * sch, uy)
             uz = jnp.where(reflect, mu_r, uz)
-            z = jnp.where(hitb, z0 + nudge_z, z)  # dead lanes: never read
 
         if absorbing:
             # Bernoulli absorption at the collision (see FastPlan.ssa):
@@ -993,8 +1013,10 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
         bad = bad + over.astype(jnp.int32)
         evct = evct + alive.astype(jnp.int32)
         alive = alive & (pk == 0) & ~over
-        return (alive, x, y, z, ux, uy, uz, tau_rem, orders, pk, bad, evct,
-                acc_int) + ((tgas,) if gas_mode else ())
+        return ((alive, x, y, z, ux, uy, uz, tau_rem, orders, pk, bad, evct,
+                 acc_int) + ((tgas,) if gas_mode else ())
+                + ((acc_sfc,) if reflecting else ())
+                + ((acc_srf,) if reflecting and D else ()))
 
     # ------------------------------------------------------------------
     # Pallas event-block: K events per HBM round-trip.  The XLA fastpath
@@ -1091,6 +1113,9 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
              bad, evct, acc_int) = st[:13]
             if gas_mode:
                 tgas = st[13]
+            # Surface accumulators (reflecting mode) pass through the
+            # flush/refill glue untouched.
+            sfc_tail = st[13 + (1 if gas_mode else 0):]
             # Per-block direction renormalization: the event step skips the
             # per-rotation rsqrt (rotate_direction(renormalize=False)), so
             # f32 drift (~1e-7/rotation) is squeezed out here, once per K
@@ -1126,7 +1151,8 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
                 launched = launched + jnp.sum(refill.astype(jnp.int32))
                 alive = alive | refill
             st = (alive, x, y, z, ux, uy, uz, tau_rem, orders, pk,
-                  bad, evct, acc_int) + ((tgas,) if gas_mode else ())
+                  bad, evct, acc_int) + ((tgas,) if gas_mode else ()) \
+                + sfc_tail
             if use_pallas and pallas_ok:
                 kd = jax.lax.bitcast_convert_type(
                     jax.random.key_data(jax.random.fold_in(key, kb)),
@@ -1148,15 +1174,17 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
             kb, launched, st, _, _ = carry
             return (jnp.any(st[0]) | (launched < n_photons)) & (kb < max_blocks)
 
-        acc_int0 = jnp.zeros((n_cols, D) if D else
-                             ((n_cols, 1) if reflecting else (1, 1)),
-                             jnp.float32)
+        acc_int0 = jnp.zeros((n_cols, D) if D else (1, 1), jnp.float32)
         st = (alive, x, y, z, ux, uy, uz, jnp.zeros(L, jnp.float32),
               zeros_i, zeros_i, zeros_i, zeros_i, acc_int0)
         if gas_mode:
             tgas0 = exponential_deviate(jax.random.uniform(
                 jax.random.fold_in(key, 0x7A57A5), (L,), dtype=jnp.float32))
             st = st + (tgas0,)
+        if reflecting:
+            st = st + (jnp.zeros((n_cols, 1), jnp.float32),)
+            if D:
+                st = st + (jnp.zeros((n_cols, D), jnp.float32),)
         kb, launched, st, columns, vol = jax.lax.while_loop(
             cond, body, (jnp.int32(0), launched, st, columns, vol))
         columns, vol, _ = flush(columns, vol, st[9], st[1], st[2], st[3])
@@ -1165,19 +1193,21 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
 
         zero_cols = jnp.zeros(n_cols, jnp.float32)
         zero0 = jnp.zeros(0, jnp.float32)
+        idx_sfc = 13 + (1 if gas_mode else 0)
         if D:
-            intensity = st[12].reshape(n_cols * D)
-            # Component slot 0 is the surface (black here: identically 0);
-            # slot 1 the single scattering component.
-            by_comp = jnp.stack([jnp.zeros_like(intensity), intensity],
-                                axis=1).reshape(n_cols * D * 2)
+            coll = st[12].reshape(n_cols * D)
+            # Component slot 0 is the surface; slot 1 single scattering.
+            srf = (st[idx_sfc + 1].reshape(n_cols * D) if reflecting
+                   else jnp.zeros_like(coll))
+            intensity = coll + srf
+            by_comp = jnp.stack([srf, coll], axis=1).reshape(n_cols * D * 2)
         else:
             intensity = by_comp = zero0
         fdn = columns[:, 1]
         if reflecting:
             # Bottom-boundary flux lives in the eager accumulator (kind 2
             # is never written when A > 0).
-            fdn = fdn + st[12][:, 0]
+            fdn = fdn + st[idx_sfc][:, 0]
         return RawTallies(
             flux_up=columns[:, 0], flux_down=fdn,
             flux_absorbed=(columns[:, 2] if absorbing or gas_mode

@@ -53,10 +53,10 @@ def test_step_cloud_is_eligible():
 @pytest.mark.parametrize("kwargs,cfg", [
     # ray tracing transport is not expressible
     (dict(), IntegratorConfig(use_ray_tracing=True)),
-    # reflecting surface + detectors: surface radiance contributions are
-    # general-kernel-only
-    (dict(surface_albedo=0.2, intensity_mus=[0.5], intensity_phis=[0.0]),
-     IntegratorConfig(use_ray_tracing=False, compute_volume_absorption=False)),
+    # BRDF surfaces (RPV etc.) use the general reflection machinery
+    (dict(surface=__import__("i3rc_tpu.core.surface", fromlist=["S"])
+          .SurfaceDescription.uniform([0.2, 0.8, -0.1], brdf_name="rpv")),
+     FAST_CFG),
     # non-default radiance estimators use the general local-estimate machinery
     (dict(intensity_mus=[0.5], intensity_phis=[0.0]),
      IntegratorConfig(use_ray_tracing=False, compute_volume_absorption=False,
@@ -114,6 +114,52 @@ def test_reflecting_surface_on_fastpath():
         float(rg.mean_flux_up), abs=4 * s2)
     assert float(rf.mean_flux_down) == pytest.approx(
         float(rg.mean_flux_down), abs=4 * s2)
+
+
+def test_reflecting_surface_radiance():
+    """Surface contributions to radiance detectors (component slot 0):
+    Lambertian emission is direction-independent and upward-only — the
+    transparent domain gives exactly A/pi up and 0 down; the step cloud
+    cross-checks against the general kernel including the by-component
+    split."""
+    from i3rc_tpu.core.optics import Domain
+    from i3rc_tpu.core.phase_functions import (
+        PhaseFunction, PhaseFunctionTable, henyey_greenstein_coefficients)
+    from i3rc_tpu.integrators.integrator import Integrator
+    from i3rc_tpu.models.step_cloud import make_step_cloud
+
+    det = dict(intensity_mus=[0.5, -0.5], intensity_phis=[0.0, 0.0])
+    table = PhaseFunctionTable.from_phase_functions(
+        [PhaseFunction.from_legendre(henyey_greenstein_coefficients(0.85, 64))],
+        key=[1.0])
+    dom = Domain.create([0, 500.0], [0, 500.0], [0.0, 250.0])
+    ext = np.full((1, 1, 1), 1e-9)
+    dom = dom.add_component("thin", ext, np.ones_like(ext),
+                            np.zeros(ext.shape, np.int32), table)
+    n = 1 << 15
+    f0 = Integrator.create(dom, config=FAST_CFG, surface_albedo=0.4, **det)
+    assert _plan(f0) is not None and _plan(f0).detectors
+    r = f0.compute(jax.random.PRNGKey(1), PhotonSource.directional(0.7, 0.0), n)
+    iv = np.asarray(r.mean_intensity)
+    sig = np.sqrt(0.4 * 0.6 / n) / np.pi
+    assert iv[0] == pytest.approx(0.4 / np.pi, abs=4 * sig)
+    assert iv[1] == 0.0
+
+    src = PhotonSource.directional(0.5, 0.0)
+    f = Integrator.create(make_step_cloud(1.0), config=FAST_CFG,
+                          surface_albedo=0.3, **det)
+    g = Integrator.create(make_step_cloud(1.0), config=IntegratorConfig(
+        use_ray_tracing=False, max_events=500,
+        compute_volume_absorption=False, majorant_block_size=16,
+        use_fastpath=False), surface_albedo=0.3, **det)
+    rf = f.batch_fn(src, n)(jax.random.PRNGKey(11))
+    rg = g.batch_fn(src, n)(jax.random.PRNGKey(12))
+    np.testing.assert_allclose(np.asarray(rf.mean_intensity),
+                               np.asarray(rg.mean_intensity), rtol=0.06)
+    bc_f = np.asarray(rf.intensity_by_component).mean(axis=(0, 1))
+    bc_g = np.asarray(rg.intensity_by_component).mean(axis=(0, 1))
+    assert bc_f[0, 0] > 0      # surface slot populated for the up detector
+    np.testing.assert_allclose(bc_f[:, 0], bc_g[:, 0], rtol=0.1)
 
 
 def test_tabulated_phase_on_fastpath():
