@@ -128,8 +128,9 @@ def run_from_namelist(namelist_path: str, quiet: bool = False) -> dict:
     # runtimes kill device executions that run for many minutes, which a
     # 16-batch fused scan of a radiance configuration can reach.
     stats = run_batches(integ, source, n_photons, n_batches, seed=iseed,
-                        chunk_batches=2,
-                        mesh=mesh, derive=derive).scaled(solar_flux)
+                        chunk_batches=2, mesh=mesh, derive=derive,
+                        derive_token=("mc_driver_means", compute_intensity)
+                        ).scaled(solar_flux)
     n_batches = stats.n_batches
     t_total = time.perf_counter() - t0
     if not quiet:

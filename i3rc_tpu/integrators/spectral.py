@@ -57,7 +57,7 @@ class BandResult:
 
 def run_band(integrator: Integrator, base_domain: Domain, kdist: KDistribution,
              source, n_photons_per_batch, n_batches, seed=10, mesh=None,
-             derive=None):
+             derive=None, derive_token=None):
     """All k points of one band through the band integrator's executable."""
     profiles = kdist.absorption_profiles_on(np.asarray(base_domain.z_edges))
     per_k = []
@@ -68,7 +68,7 @@ def run_band(integrator: Integrator, base_domain: Domain, kdist: KDistribution,
                                            integrator.config.majorant_block_size)
         stats = run_batches(integrator, source, n_photons_per_batch, n_batches,
                             seed=seed + 1000 * k, mesh=mesh, derive=derive,
-                            optics_override=optics_k)
+                            derive_token=derive_token, optics_override=optics_k)
         per_k.append(stats)
         w = float(kdist.weights[k])
         tree = stats.mean
@@ -84,7 +84,7 @@ def run_broadband(base_domain: Domain, k_distributions, source,
                   n_photons_per_batch: int, n_batches: int, seed: int = 10,
                   mesh=None, config=None, surface_albedo: float = 0.0,
                   surface=None, intensity_mus=None, intensity_phis=None,
-                  band_domains=None, derive=None):
+                  band_domains=None, derive=None, derive_token=None):
     """The broadband driver: spectral loop over bands and k points.
 
     ``band_domains`` optionally supplies a per-band Domain (per-band cloud
@@ -107,7 +107,8 @@ def run_broadband(base_domain: Domain, k_distributions, source,
                                   intensity_mus=intensity_mus,
                                   intensity_phis=intensity_phis)
         band = run_band(integ, dom_b, kdist, source, n_photons_per_batch,
-                        n_batches, seed=seed + 100000 * b, mesh=mesh, derive=derive)
+                        n_batches, seed=seed + 100000 * b, mesh=mesh,
+                        derive=derive, derive_token=derive_token)
         results.append(band)
         contrib = jax.tree.map(lambda a: a * band.spectral_fraction, band.mean)
         broadband = contrib if broadband is None else jax.tree.map(

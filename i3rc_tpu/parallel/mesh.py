@@ -77,7 +77,7 @@ def run_batches(integrator, source, n_photons_per_batch: int, n_batches: int,
                 seed: int = 10, mesh: Mesh | None = None, derive=None,
                 n_lanes: int | None = None, optics_override=None,
                 batch_offset: int = 0, rng_impl: str | None = None,
-                chunk_batches: int | None = None,
+                chunk_batches: int | None = None, derive_token=None,
                 _return_sums: bool = False) -> BatchStats:
     """Run independent photon batches across the mesh and reduce moments.
 
@@ -89,6 +89,10 @@ def run_batches(integrator, source, n_photons_per_batch: int, n_batches: int,
     error across batches is not derivable from per-pixel moments — the
     reference accumulates them separately, monteCarloDriver.f95:300-305).
     The returned stats trees are then dicts {"results":..., "derived":...}.
+    Callers that build ``derive`` as a per-call closure should pass a stable
+    hashable ``derive_token`` identifying it, so the compiled executable is
+    reused across calls (the fallback key is id(derive), which never repeats
+    for closures and would grow the cache one executable per call).
 
     ``chunk_batches`` bounds how many batches each DEVICE runs per XLA
     dispatch: moments are summed across dispatches on the host (identical
@@ -111,7 +115,7 @@ def run_batches(integrator, source, n_photons_per_batch: int, n_batches: int,
                 mesh=mesh, derive=derive, n_lanes=n_lanes,
                 optics_override=optics_override,
                 batch_offset=batch_offset + done, rng_impl=rng_impl,
-                _return_sums=True)
+                derive_token=derive_token, _return_sums=True)
             s1 = c1 if s1 is None else jax.tree.map(lambda a, b: a + b, s1, c1)
             s2 = c2 if s2 is None else jax.tree.map(lambda a, b: a + b, s2, c2)
             done += take
@@ -151,9 +155,14 @@ def run_batches(integrator, source, n_photons_per_batch: int, n_batches: int,
               tuple((l.shape, str(l.dtype))
                     for l in jax.tree.leaves(optics_override)))
     mesh_key = (mesh.axis_names, tuple(d.id for d in mesh.devices.ravel()))
+    if derive is None:
+        d_key = None
+    elif derive_token is not None:
+        d_key = ("token", derive_token)
+    else:
+        d_key = ("id", id(derive))
     cache_key = (source, int(n_photons_per_batch), n_lanes, int(n_batches),
-                 mesh_key, None if derive is None else id(derive), rng_impl,
-                 ov_key)
+                 mesh_key, d_key, rng_impl, ov_key)
     if cache_key not in cache:
         def worker(ids, key_arg, override):
             # ids: (per_dev,) this device's global batch indices
