@@ -30,8 +30,10 @@ block:
     registers) and the flush runs every K events: one small one-hot tally
     matmul and one refill cumsum per K-event block instead of per event.
     Volume absorption (heating rates) rides the same flush (kind-3 deaths
-    keyed by fine cell); reflecting surfaces add one eager Fdn accumulator
-    tally per event (XLA path only), since bottom crossings recur.
+    keyed by fine cell); reflecting surfaces pause bottom hits until the
+    flush, which tallies Fdn and Bernoulli-revives the lane with a fresh
+    Lambertian direction (probability = albedo) — the event kernel stays
+    surface-agnostic, so reflecting runs keep the Pallas path.
 
 Eligibility is checked host-side (``fast_plan``); ineligible configurations
 fall back to the general kernel unchanged.  Expectations are identical to
@@ -83,6 +85,13 @@ class StepFactor:
         v = jnp.full_like(pos, jnp.float32(self.values[0]))
         for t, val in zip(self.thresholds, self.values[1:]):
             v = jnp.where(pos >= jnp.float32(t), jnp.float32(val), v)
+        return v
+
+    def eval_np(self, pos: np.ndarray) -> np.ndarray:
+        """Host-side (numpy) evaluation, for plan-consistency checks."""
+        v = np.full(np.shape(pos), self.values[0], dtype=np.float64)
+        for t, val in zip(self.thresholds, self.values[1:]):
+            v = np.where(np.asarray(pos) >= t, val, v)
         return v
 
     def face_up(self, pos, hi: float):
@@ -152,13 +161,21 @@ def separable_factors(ext: np.ndarray, x_edges, y_edges, z_edges):
     return fx, fy, fz
 
 
-def column_structure(ext: np.ndarray, z_edges: np.ndarray) -> np.ndarray | None:
+def column_structure(ext: np.ndarray, z_edges: np.ndarray,
+                     ssa: np.ndarray | None = None,
+                     pfi: np.ndarray | None = None) -> np.ndarray | None:
     """(n_cols, 3) [v, z_base, z_top] when every column is one homogeneous
     layer (contiguous constant-extinction z-run, clear elsewhere), else None.
 
     The I3RC Landsat scene has exactly this shape: each column's cloud
     occupies nint(thickness/20m) layers from the domain base with uniform
     extinction tau/thickness (i3rcLandsatCloud.f95:100-104).
+
+    With ``ssa``/``pfi`` given (per-cell single-scattering albedo and phase
+    index), the run must also be uniform in both per column and the result
+    gains two columns: (n_cols, 5) [v, z_base, z_top, ssa, pf_index] — the
+    PhysicalPropertiesToDomain single-layer class, where each column's
+    Reff keys one Mie-table entry (PhysicalPropertiesToDomain.f95:242-276).
     """
     from i3rc_tpu.ops.gather import ONEHOT_MAX_ROWS
 
@@ -181,7 +198,17 @@ def column_structure(ext: np.ndarray, z_edges: np.ndarray) -> np.ndarray | None:
     zt = z_edges[last + 1]
     zb = np.where(count > 0, zb, z_edges[0])
     zt = np.where(count > 0, zt, z_edges[0])
-    return np.stack([v, zb, zt], axis=1).astype(np.float32)
+    cols = [v, zb, zt]
+    if ssa is not None:
+        for field in (np.asarray(ssa, np.float64).reshape(nx * ny, nz),
+                      np.asarray(pfi, np.float64).reshape(nx * ny, nz)):
+            col_ids = np.arange(nx * ny)
+            rep = field[col_ids, first]          # run value per column
+            if not np.all(np.where(in_run, field, rep[:, None])
+                          == rep[:, None]):
+                return None  # ssa / phase index varies within a run
+            cols.append(np.where(count > 0, rep, 0.0))
+    return np.stack(cols, axis=1).astype(np.float32)
 
 
 def detect_hg(table) -> float | None:
@@ -263,11 +290,20 @@ class FastPlan:
     # forward table too).
     cubic: object = None
     # Lambertian surface albedo.  > 0 keeps weight-1 photons by Bernoulli:
-    # every bottom hit tallies Fdn eagerly (per-event accumulator — the
-    # XLA path only; Pallas requires a black surface), then the photon
-    # reflects with probability A (mu = sqrt(u), uniform azimuth,
-    # NEXT_DIRECT's Lambertian draw) or dies silently (kind 4).
+    # bottom hits pend as kind 2 (tallying Fdn at the flush like any exit)
+    # and the per-block glue revives the lane with probability A (mu =
+    # sqrt(u), uniform azimuth, NEXT_DIRECT's Lambertian draw).  The event
+    # kernel is surface-agnostic, so reflecting runs keep the Pallas path.
     surface_albedo: float = 0.0
+    # Per-column optical properties (multi-entry Mie/Reff-keyed tables —
+    # the PhysicalPropertiesToDomain production class): column_data widens
+    # to (n_cols, 5) [v, z_base, z_top, ssa, pf_index]; the column read
+    # supplies the per-lane ssa (Bernoulli absorption) and the cubic
+    # inverse-CDF row base (pf_index * n_segments).  plan.ssa then holds
+    # the MINIMUM column ssa (static absorbing/conservative switch only).
+    column_props: bool = False
+    # Number of table entries flattened into `cubic` ((entries*nseg, 4)).
+    cubic_entries: int = 1
 
 
 def fast_plan(geom, flat, optics, surface, intensity, config) -> FastPlan | None:
@@ -358,18 +394,41 @@ def fast_plan(geom, flat, optics, surface, intensity, config) -> FastPlan | None
             return None
         g = detect_hg(flat.forward_tables[cloud_idx])
         cloud_field = np.asarray(cloud_ext, np.float32)
-    elif optics.n_components == 1 and optics.uniform_ssa is not None:
+    per_col_props = False
+    if gas_factor is not None:
+        pass
+    elif optics.n_components == 1 and optics.uniform_ssa is not None \
+            and optics.uniform_phase_index is not None:
         if not (0.0 < optics.uniform_ssa <= 1.0):
-            return None
-        if optics.uniform_phase_index is None:
             return None
         uniform_ssa = float(optics.uniform_ssa)
         g = detect_hg(flat.forward_tables[0])
         cloud_field = flat.total_ext
-    else:
+    elif optics.n_components == 1 and intensity is None:
+        # Per-cell ssa / phase index (multi-entry Mie/Reff-keyed tables):
+        # only the column path can carry them — per-column uniform values
+        # ride the column read (see FastPlan.column_props).
+        if np.any((np.asarray(flat.ssa) < 0.0)
+                  | (np.asarray(flat.ssa) > 1.0)):
+            return None
+        per_col_props = True
+        uniform_ssa = 1.0      # per-lane values come from the column read
+        g = None
+        cloud_field = flat.total_ext
+    elif optics.n_components != 2:
         return None
     cubic = None
-    if g is None or g == 0.0:
+    cubic_entries = 1
+    if per_col_props:
+        # Every entry's piecewise-cubic mu(p) fit, flattened: the kernel's
+        # row base is pf_index * n_segments from the column read.
+        from i3rc_tpu.integrators.tables import build_inverse_cubic
+
+        cub = np.asarray(build_inverse_cubic(flat)[0], np.float32)
+        cubic_entries = cub.shape[0]
+        cubic = cub.reshape(-1, 4)
+        g = 0.0
+    elif g is None or g == 0.0:
         # Not (exactly) Henyey-Greenstein: single-entry tables sample the
         # same piecewise-cubic mu(p) inverse-CDF fit as the general kernel
         # (one small one-hot row read per event — XLA path only).  Radiance
@@ -382,8 +441,9 @@ def fast_plan(geom, flat, optics, surface, intensity, config) -> FastPlan | None
 
         cubic = np.asarray(build_inverse_cubic(flat)[0, 0], np.float32)
         g = 0.0
-    factors = separable_factors(cloud_field, np.asarray(geom.x_edges),
-                                np.asarray(geom.y_edges), np.asarray(geom.z_edges))
+    factors = None if per_col_props else separable_factors(
+        cloud_field, np.asarray(geom.x_edges),
+        np.asarray(geom.y_edges), np.asarray(geom.z_edges))
     if factors is not None and (factors[0].n_ops + factors[1].n_ops
                                 + factors[2].n_ops > MAX_SEGMENTS):
         factors = None
@@ -393,13 +453,21 @@ def fast_plan(geom, flat, optics, surface, intensity, config) -> FastPlan | None
             return None
         if gas_factor is not None:  # gas rides the separable path only
             return None
-        if surface_albedo > 0.0:    # eager Fdn tally too wide per event
-            return None
-        column_data = column_structure(flat.total_ext, np.asarray(geom.z_edges))
+        column_data = column_structure(
+            flat.total_ext, np.asarray(geom.z_edges),
+            ssa=np.asarray(flat.ssa)[..., 0] if per_col_props else None,
+            pfi=np.asarray(flat.phase_index)[..., 0] if per_col_props
+            else None)
         if column_data is None:
             return None
+        if per_col_props:
+            occ = column_data[:, 0] > 0.0
+            uniform_ssa = (float(column_data[occ, 3].min()) if occ.any()
+                           else 1.0)
         trivial = StepFactor((), (1.0,))
         fx = fy = fz = trivial
+    elif per_col_props:
+        return None
     else:
         fx, fy, fz = factors
 
@@ -448,7 +516,8 @@ def fast_plan(geom, flat, optics, surface, intensity, config) -> FastPlan | None
                     detectors=detectors, shadow_steps=shadow_steps,
                     column_data=column_data, ssa=uniform_ssa,
                     gas_factor=gas_factor, gas_idx=gas_idx,
-                    cubic=cubic, surface_albedo=surface_albedo)
+                    cubic=cubic, surface_albedo=surface_albedo,
+                    column_props=per_col_props, cubic_entries=cubic_entries)
 
 
 # ---------------------------------------------------------------------------
@@ -623,8 +692,9 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
     table_mode = plan.cubic is not None
     if table_mode:
         from i3rc_tpu.ops.gather import read_rows as _read_rows_cubic
-        cubic_table = jnp.asarray(plan.cubic)          # (n_segments, 4)
-        n_seg_cubic = int(plan.cubic.shape[0])
+        cubic_table = jnp.asarray(plan.cubic)     # (entries*n_segments, 4)
+        n_seg_cubic = int(plan.cubic.shape[0]) // int(plan.cubic_entries)
+    col_props = bool(plan.column_props)
 
     def _inv_factor(f: StepFactor) -> StepFactor:
         # Reciprocal-value chain (zero segments -> 0; masked by ext > 0).
@@ -646,16 +716,17 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
     absorbing = plan.ssa < 1.0
     n_draws = 4 if absorbing else 3
     # Reflecting Lambertian surface (see FastPlan.surface_albedo): bottom
-    # hits tally Fdn eagerly into a dedicated acc_sfc accumulator, then
-    # reflect with probability A (3 extra draws: Bernoulli, mu^2, azimuth)
-    # or die kind 4 (silent: Fdn already counted; nothing else to tally).
-    # With detectors, surviving reflections also contribute A-expected
-    # weight-1 surface radiance (1/pi, direction-independent) through the
-    # same shadow traces into acc_srf (component slot 0).
+    # hits PAUSE the lane (pending kind 2, exactly like a black-surface
+    # exit) and resolve at the per-block flush: Fdn tallies at the frozen
+    # hit column, then the glue REVIVES the lane with probability A —
+    # fresh Lambertian direction (mu = sqrt(u), uniform azimuth,
+    # NEXT_DIRECT's surface draw, monteCarloRadiativeTransfer.f95:542-549)
+    # — before the refill claims it.  Identical expectation and variance to
+    # the reference's w *= A weighting in Bernoulli form; a hitting lane
+    # idles for the remainder of its K-event block (measured cheaper than
+    # the per-event eager tally it replaces), and the event kernel stays
+    # surface-agnostic — reflecting runs keep the full Pallas speed.
     reflecting = plan.surface_albedo > 0.0
-    refl_base = n_draws
-    if reflecting:
-        n_draws += 3
     # Gas channel (see FastPlan.gas_factor): per-lane exponential gas-tau
     # threshold (tgas, state slot 13) consumed along every traveled step;
     # crossing it is a kind-3 death at the crossing point.  The chain
@@ -778,6 +849,25 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
     # rotation, counters) amortize over several crossings.  Column mode
     # keeps MARCH = 1: its per-substep one-hot column read dominates.
     MARCH = 1 if column_mode else max(1, int(getattr(config, "fastpath_march", 4)))
+    # Collision chaining (bonus phases): after the main-phase collision and
+    # scattering rotation, resolve up to CHAIN further collisions inline —
+    # each draws a fresh free path and commits immediately IF the candidate
+    # point stays strictly inside the current segment box (where extinction
+    # is constant by construction, so the tentative collision is physical
+    # with no further face logic).  A candidate outside the box defers: the
+    # drawn optical depth becomes tau_rem and the next full event handles
+    # the crossing — correct by the memorylessness of the free path in
+    # optical depth.  In collision-dominated media (the tau=18 step-cloud
+    # half: most collisions are followed by another collision in the same
+    # segment) this roughly halves the number of full events per photon at
+    # ~1/3 of a full event's vector cost per bonus phase; for column media
+    # chained collisions skip the dominant per-event one-hot column read.
+    # Radiance detectors disable chaining (every collision needs its shadow
+    # traces, which dominate that path anyway).
+    CHAIN = 0 if D else max(0, int(getattr(config, "fastpath_chain", 2)))
+    bonus_draws = 4 if absorbing else 3
+    bonus_base = n_draws
+    n_draws += CHAIN * bonus_draws
 
     def fast_event(u, st, gas=None):
         (alive, x, y, z, ux, uy, uz, tau_rem, orders, pk, bad, evct,
@@ -788,10 +878,6 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
             idx_extra += 1
             gz_fn, inv_gz_fn, gas_face = gas if gas is not None \
                 else make_gas_eval()
-        if reflecting:
-            acc_sfc = st[idx_extra]
-            if D:
-                acc_srf = st[idx_extra + 1]
         tau_rem = jnp.where(tau_rem > 0.0, tau_rem, exponential_deviate(u[0]))
 
         # Exact local extinction (constant within the current segment box)
@@ -807,8 +893,6 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
             sign_y = jnp.where(up_y, nudge_y, -nudge_y)
         moving = alive
         collided = jnp.zeros_like(alive)
-        if reflecting:
-            hitb = jnp.zeros_like(alive)
         for _ in range(MARCH):
             if column_mode:
                 # One factored one-hot read per event fetches the lane's
@@ -819,6 +903,12 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
                 iy_c = jnp.clip(((y - y0) * inv_dy).astype(jnp.int32), 0, n_y - 1)
                 cdat = read_rows(column_table, ix_c * n_y + iy_c)
                 vcol, zb, zt = cdat[:, 0], cdat[:, 1], cdat[:, 2]
+                if col_props:
+                    # Per-column ssa + phase-table entry (multi-entry Mie
+                    # tables): integers < 2^16 read exactly at
+                    # DOT_PRECISION "high" (ops/gather.py note).
+                    ssa_lane = cdat[:, 3]
+                    pf_row = cdat[:, 4].astype(jnp.int32) * n_seg_cubic
                 ext = jnp.where((z >= zb) & (z < zt), vcol, 0.0)
                 face_x = x0 + (jnp.floor((x - x0) * inv_dx)
                                + up_x.astype(jnp.float32)) * geom.dx
@@ -894,13 +984,10 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
 
             exit_top = cross & (nzp >= z_max)
             exit_bot = cross & ~exit_top & (nzp <= z0)
-            if reflecting:
-                # Bottom arrivals resolve after the march loop (eager Fdn
-                # tally + Bernoulli reflection); they stop moving here.
-                hitb = hitb | exit_bot
-                pk = jnp.where(exit_top, 1, pk)
-            else:
-                pk = jnp.where(exit_top, 1, jnp.where(exit_bot, 2, pk))
+            # Bottom arrivals pend as kind 2 regardless of the surface: for
+            # a reflecting surface the flush tallies Fdn and the glue
+            # Bernoulli-revives the lane (see `reflecting` above).
+            pk = jnp.where(exit_top, 1, jnp.where(exit_bot, 2, pk))
             if gas_mode:
                 pk = jnp.where(gas_die, 3, pk)
             tau_rem = jnp.where(cross, tau_rem - s_bnd * ext,
@@ -916,56 +1003,14 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
             collided = collided | collide_m
             moving = cross & ~exit_top & ~exit_bot
 
-        if reflecting:
-            # Bottom hits: Fdn tallied eagerly at the frozen hit column,
-            # then the Lambertian Bernoulli: reflect with probability A
-            # drawing mu = sqrt(u) clamped away from grazing and a uniform
-            # azimuth (NEXT_DIRECT's surface draw,
-            # monteCarloRadiativeTransfer.f95:542-549), else die silently
-            # (kind 4 — Fdn is already counted, nothing else tallies).
-            ixh = jnp.clip(((x - x0) * inv_dx).astype(jnp.int32), 0, n_x - 1)
-            if track_y and n_y > 1:
-                iyh = jnp.clip(((y - y0) * inv_dy).astype(jnp.int32),
-                               0, n_y - 1)
-                colh = ixh * n_y + iyh
-            else:
-                colh = ixh
-            acc_sfc = tally_multi(acc_sfc, colh,
-                                  hitb.astype(jnp.float32)[:, None])
-            die_s = hitb & (u[refl_base] >= jnp.float32(plan.surface_albedo))
-            pk = jnp.where(die_s, 4, pk)
-            reflect = hitb & ~die_s
-            z = jnp.where(hitb, z0 + nudge_z, z)  # dead lanes: never read
-            if D:
-                # Surface radiance (component 0): Lambertian emission is
-                # direction-independent — weight-1 survivors contribute
-                # 1/pi x exp(-tau) at the shadow ray's exit column, the
-                # A-expectation of the general kernel's w*A/pi
-                # (computeIntensityContribution :1473-1480, :1509).
-                pos_ys = y if track_y else None
-                for d in range(D):
-                    if plan.detectors[d][2] <= 0.0:
-                        continue  # Lambertian emission is upward-only
-                    tau_d, col_d, okd = shadow_trace(d, reflect, x, pos_ys, z)
-                    contrib = jnp.where(
-                        okd, jnp.float32(1.0 / np.pi) * jnp.exp(-tau_d), 0.0)
-                    vals = jnp.stack(
-                        [contrib if j == d else jnp.zeros_like(contrib)
-                         for j in range(D)], axis=1)
-                    acc_srf = tally_multi(acc_srf, col_d, vals)
-            mu_r = jnp.maximum(jnp.sqrt(u[refl_base + 1]), jnp.float32(1e-6))
-            sin_r = jnp.sqrt(jnp.maximum(1.0 - u[refl_base + 1], 0.0))
-            sch, cch = _sincos_2pi(u[refl_base + 2])
-            ux = jnp.where(reflect, sin_r * cch, ux)
-            uy = jnp.where(reflect, sin_r * sch, uy)
-            uz = jnp.where(reflect, mu_r, uz)
-
         if absorbing:
             # Bernoulli absorption at the collision (see FastPlan.ssa):
             # absorbed photons die with weight 1 at their frozen position;
             # only survivors contribute to detectors and scatter.  Same
             # expectation as the reference's analog weighting (:642-649).
-            die = collided & (u[3] >= jnp.float32(plan.ssa))
+            # Per-column-property plans read the lane's ssa from the column.
+            ssa_v = ssa_lane if col_props else jnp.float32(plan.ssa)
+            die = collided & (u[3] >= ssa_v)
             pk = jnp.where(die, 3, pk)
             collided = collided & ~die
 
@@ -985,18 +1030,22 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
                                   for j in range(D)], axis=1)
                 acc_int = tally_multi(acc_int, col_d, vals)
 
-        if table_mode:
+        def sample_mu(uu):
+            if not table_mode:
+                return hg_cosine(plan.hg_g, uu)
             # Piecewise-cubic inverse CDF (the general kernel's mu(p) fit,
             # wavefront.sample_cos_scat): one 4-wide one-hot row read.
-            pos = jnp.clip(u[1], 0.0, 1.0) * n_seg_cubic
+            # Per-column-property plans offset into the lane's table entry.
+            pos = jnp.clip(uu, 0.0, 1.0) * n_seg_cubic
             seg = jnp.clip(pos.astype(jnp.int32), 0, n_seg_cubic - 1)
             t_c = pos - seg.astype(pos.dtype)
-            c = _read_rows_cubic(cubic_table, seg)
-            cos_scat = jnp.clip(
+            c = _read_rows_cubic(cubic_table,
+                                 pf_row + seg if col_props else seg)
+            return jnp.clip(
                 ((c[:, 3] * t_c + c[:, 2]) * t_c + c[:, 1]) * t_c + c[:, 0],
                 -1.0, 1.0)
-        else:
-            cos_scat = hg_cosine(plan.hg_g, u[1])
+
+        cos_scat = sample_mu(u[1])
         # Renormalization deferred to the per-block glue (see body/renorm):
         # saves an rsqrt in the hot kernel; drift is ~1e-7 per rotation.
         nux, nuy, nuz = rotate_direction(ux, uy, uz, cos_scat, u[2],
@@ -1004,9 +1053,78 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
         ux = jnp.where(collided, nux, ux)
         uy = jnp.where(collided, nuy, uy)
         uz = jnp.where(collided, nuz, uz)
+        n_coll = collided.astype(jnp.int32)
 
-        orders = orders + ((collided | hitb) if reflecting
-                           else collided).astype(jnp.int32)
+        if CHAIN:
+            # Collision chaining (see the CHAIN comment above): the segment
+            # box around the frozen collision point — extinction is constant
+            # inside it, so a candidate that stays strictly within commits
+            # as a physical collision with no face logic; one that leaves
+            # defers its drawn optical depth to the next full event
+            # (memorylessness of the free path makes that exact).  Windows
+            # and the local inverse extinction are chain-invariant: every
+            # committed candidate remains in the same box.
+            if column_mode:
+                cwx = x0 + jnp.floor((x - x0) * inv_dx) * geom.dx
+                wx_lo, wx_hi = cwx, cwx + jnp.float32(geom.dx)
+                wz_lo, wz_hi = zb, zt
+                inv_ext_c = 1.0 / jnp.maximum(vcol, TINY)
+                if track_y:
+                    cwy = y0 + jnp.floor((y - y0) * inv_dy) * geom.dy
+                    wy_lo, wy_hi = cwy, cwy + jnp.float32(geom.dy)
+            else:
+                wx_lo, wx_hi = fx.face_dn(x, x0), fx.face_up(x, x_max)
+                wz_lo, wz_hi = fz.face_dn(z, z0), fz.face_up(z, z_max)
+                inv_ext_c = inv_fx(x) * inv_fz(z)
+                if track_y:
+                    wy_lo, wy_hi = fy.face_dn(y, y0), fy.face_up(y, y_max)
+                    inv_ext_c = inv_ext_c * inv_fy(y)
+            if gas_mode:
+                gzv_c = gz_fn(z)
+                up_b = jnp.ones_like(collided)
+                wz_lo = jnp.maximum(wz_lo, gas_face(z, ~up_b))
+                wz_hi = jnp.minimum(wz_hi, gas_face(z, up_b))
+            chain = collided
+            for b in range(CHAIN):
+                i0 = bonus_base + b * bonus_draws
+                tau_new = exponential_deviate(u[i0])
+                s_c = tau_new * inv_ext_c
+                cx = x + ux * s_c
+                cz = z + uz * s_c
+                inside = (cx > wx_lo) & (cx < wx_hi) \
+                    & (cz > wz_lo) & (cz < wz_hi)
+                if track_y:
+                    cy = y + uy * s_c
+                    inside = inside & (cy > wy_lo) & (cy < wy_hi)
+                if gas_mode:
+                    gcost = s_c * gzv_c
+                    inside = inside & (gcost < tgas)
+                commit = chain & inside
+                # Deferred lanes carry the drawn optical depth into the next
+                # full event; their position/direction stay at the last
+                # committed collision.
+                tau_rem = jnp.where(chain & ~inside, tau_new, tau_rem)
+                x = jnp.where(commit, cx, x)
+                z = jnp.where(commit, cz, z)
+                if track_y:
+                    y = jnp.where(commit, cy, y)
+                if gas_mode:
+                    tgas = jnp.where(commit, tgas - gcost, tgas)
+                n_coll = n_coll + commit.astype(jnp.int32)
+                if absorbing:
+                    die_c = commit & (u[i0 + 3] >= (
+                        ssa_lane if col_props else jnp.float32(plan.ssa)))
+                    pk = jnp.where(die_c, 3, pk)
+                    commit = commit & ~die_c
+                cos_b = sample_mu(u[i0 + 1])
+                bx_, by_, bz_ = rotate_direction(ux, uy, uz, cos_b,
+                                                 u[i0 + 2], renormalize=False)
+                ux = jnp.where(commit, bx_, ux)
+                uy = jnp.where(commit, by_, uy)
+                uz = jnp.where(commit, bz_, uz)
+                chain = commit
+
+        orders = orders + n_coll
         over = alive & (orders >= max_events)
         # Per-lane counters, reduced once per batch: a cross-lane sum here
         # would break the event step's single-fusion structure.
@@ -1014,9 +1132,7 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
         evct = evct + alive.astype(jnp.int32)
         alive = alive & (pk == 0) & ~over
         return ((alive, x, y, z, ux, uy, uz, tau_rem, orders, pk, bad, evct,
-                 acc_int) + ((tgas,) if gas_mode else ())
-                + ((acc_sfc,) if reflecting else ())
-                + ((acc_srf,) if reflecting and D else ()))
+                 acc_int) + ((tgas,) if gas_mode else ()))
 
     # ------------------------------------------------------------------
     # Pallas event-block: K events per HBM round-trip.  The XLA fastpath
@@ -1033,7 +1149,7 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
     if want_pallas is None:
         want_pallas = jax.default_backend() == "tpu"
     use_pallas = (want_pallas and D == 0 and not column_mode
-                  and not reflecting and not table_mode and L % 1024 == 0)
+                  and not table_mode and L % 1024 == 0)
     if use_pallas:
         import os
         pallas_block = _build_pallas_block(
@@ -1085,6 +1201,39 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
             # k points, mirroring the general kernel's optics argument).
             # The Pallas closure needs host constants, so override traces
             # run the XLA event loop.
+            #
+            # Plan-consistency guard: the override may only change the GAS
+            # profile — the cloud part is baked into the segment factors.
+            # When the override is concrete (direct/test calls; under jit
+            # the arrays are tracers and the caller is responsible — the
+            # Integrator itself never routes overrides here) verify that
+            # the gas fraction is horizontally uniform and the residual
+            # cloud field still matches the baked factorization.
+            if not isinstance(optics_override.total_ext, jax.core.Tracer):
+                tot = np.asarray(optics_override.total_ext).reshape(
+                    n_x, n_y, n_z)
+                cumv = np.asarray(optics_override.cumulative_ext).reshape(
+                    n_x, n_y, n_z, 2)
+                frac_g = (cumv[..., 1] - cumv[..., 0] if plan.gas_idx == 1
+                          else cumv[..., 0])
+                gasf = tot * frac_g
+                tol = 1e-5 * max(float(tot.max()), 1e-30)
+                if float(np.ptp(gasf, axis=(0, 1)).max()) > tol:
+                    raise ValueError(
+                        "fastpath gas override: gas component is not "
+                        "horizontally uniform")
+                cloud = tot - gasf.mean(axis=(0, 1))[None, None, :]
+                xc = x0 + (np.arange(n_x) + 0.5) * geom.dx
+                yc = y0 + (np.arange(n_y) + 0.5) * geom.dy
+                zc = z0 + (np.arange(n_z) + 0.5) * (z_max - z0) / n_z
+                recon = (fx.eval_np(xc)[:, None, None]
+                         * fy.eval_np(yc)[None, :, None]
+                         * fz.eval_np(zc)[None, None, :])
+                if not np.allclose(cloud, recon, rtol=1e-4, atol=tol):
+                    raise ValueError(
+                        "fastpath gas override: cloud component differs "
+                        "from the baked plan (only the gas profile may "
+                        "change per k point)")
             cum = optics_override.cumulative_ext.reshape(n_x * n_y * n_z, 2)
             frac = cum[:, 1] - cum[:, 0] if plan.gas_idx == 1 else cum[:, 0]
             prof = (optics_override.total_ext * frac).reshape(
@@ -1108,14 +1257,11 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
                         jnp.float32)
 
         def body(carry):
-            kb, launched, st, columns, vol = carry
+            kb, launched, st, columns, vol, srf = carry
             (alive, x, y, z, ux, uy, uz, tau_rem, orders, pk,
              bad, evct, acc_int) = st[:13]
             if gas_mode:
                 tgas = st[13]
-            # Surface accumulators (reflecting mode) pass through the
-            # flush/refill glue untouched.
-            sfc_tail = st[13 + (1 if gas_mode else 0):]
             # Per-block direction renormalization: the event step skips the
             # per-rotation rsqrt (rotate_direction(renormalize=False)), so
             # f32 drift (~1e-7/rotation) is squeezed out here, once per K
@@ -1123,8 +1269,52 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
             rn = jax.lax.rsqrt(jnp.maximum(ux * ux + uy * uy + uz * uz,
                                            jnp.float32(1e-12)))
             ux, uy, uz = ux * rn, uy * rn, uz * rn
+            hit_bot = pk == 2        # before the flush zeroes pk
             # Flush last block's deaths, then refill those lanes (FIFO).
             columns, vol, pk = flush(columns, vol, pk, x, y, z)
+            if reflecting:
+                # Surface resolution (see `reflecting` above): Fdn is
+                # already tallied by the flush (kind 2); revive the lane
+                # with probability A, fresh Lambertian direction, before
+                # the refill can claim it.  tau_rem carries through the
+                # bounce (free-path memorylessness).
+                u_r = jax.random.uniform(
+                    jax.random.fold_in(key, -kb - 1 - (1 << 25)), (3, L),
+                    dtype=jnp.float32)
+                revive = hit_bot & (u_r[0] < jnp.float32(plan.surface_albedo))
+                if D:
+                    # Surface radiance (component 0): Lambertian emission
+                    # is direction-independent — weight-1 survivors
+                    # contribute 1/pi x exp(-tau) at the shadow ray's exit
+                    # column, the A-expectation of the general kernel's
+                    # w*A/pi (computeIntensityContribution :1473-1480).
+                    zs = jnp.where(hit_bot, z0 + nudge_z, z)
+                    pos_ys = y if track_y else None
+                    for d in range(D):
+                        # Every detector direction, matching the reference
+                        # (computeIntensityContribution is called for ALL
+                        # directions after a surface reflection,
+                        # monteCarloRadiativeTransfer.f95:1465-1480; a
+                        # downward detector's trace exits the bottom
+                        # immediately) and the general kernel.
+                        tau_d, col_d, okd = shadow_trace(d, revive, x,
+                                                         pos_ys, zs)
+                        contrib = jnp.where(
+                            okd, jnp.float32(1.0 / np.pi) * jnp.exp(-tau_d),
+                            0.0)
+                        vals = jnp.stack(
+                            [contrib if j == d else jnp.zeros_like(contrib)
+                             for j in range(D)], axis=1)
+                        srf = tally_multi(srf, col_d, vals)
+                mu_r = jnp.maximum(jnp.sqrt(u_r[1]), jnp.float32(1e-6))
+                sin_r = jnp.sqrt(jnp.maximum(1.0 - u_r[1], 0.0))
+                sch, cch = _sincos_2pi(u_r[2])
+                ux = jnp.where(revive, sin_r * cch, ux)
+                uy = jnp.where(revive, sin_r * sch, uy)
+                uz = jnp.where(revive, mu_r, uz)
+                z = jnp.where(revive, z0 + nudge_z, z)
+                orders = jnp.where(revive, orders + 1, orders)
+                alive = alive | revive
             if n_photons > L:
                 # (Measured: gating this behind lax.cond(launched < n) to
                 # skip the drain-phase cumsum COSTS ~15% — the cond's tensor
@@ -1151,8 +1341,7 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
                 launched = launched + jnp.sum(refill.astype(jnp.int32))
                 alive = alive | refill
             st = (alive, x, y, z, ux, uy, uz, tau_rem, orders, pk,
-                  bad, evct, acc_int) + ((tgas,) if gas_mode else ()) \
-                + sfc_tail
+                  bad, evct, acc_int) + ((tgas,) if gas_mode else ())
             if use_pallas and pallas_ok:
                 kd = jax.lax.bitcast_convert_type(
                     jax.random.key_data(jax.random.fold_in(key, kb)),
@@ -1168,46 +1357,52 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
                     u = jax.random.uniform(jax.random.fold_in(key, kb * K + j),
                                            (n_draws, L), dtype=jnp.float32)
                     st = fast_event(u, st, gas=gas_eval)
-            return kb + 1, launched, st, columns, vol
+            return kb + 1, launched, st, columns, vol, srf
 
         def cond(carry):
-            kb, launched, st, _, _ = carry
-            return (jnp.any(st[0]) | (launched < n_photons)) & (kb < max_blocks)
+            kb, launched, st, _, _, _ = carry
+            live = jnp.any(st[0]) | (launched < n_photons)
+            if reflecting:
+                # Paused bottom hits await their flush-time Bernoulli.
+                live = live | jnp.any(st[9] == 2)
+            return live & (kb < max_blocks)
 
         acc_int0 = jnp.zeros((n_cols, D) if D else (1, 1), jnp.float32)
+        srf0 = jnp.zeros((n_cols, D) if reflecting and D else (1, 1),
+                         jnp.float32)
         st = (alive, x, y, z, ux, uy, uz, jnp.zeros(L, jnp.float32),
               zeros_i, zeros_i, zeros_i, zeros_i, acc_int0)
         if gas_mode:
+            # Negative sentinel key, disjoint from the positive event keys
+            # fold_in(key, kb*K + j) AND the refill keys -kb-1 / gas-refill
+            # -kb-1-(1<<24) / surface-revive -kb-1-(1<<25) (kb < max_blocks
+            # << 2^24): the launch gas thresholds must not reuse any event
+            # block's transport stream.
             tgas0 = exponential_deviate(jax.random.uniform(
-                jax.random.fold_in(key, 0x7A57A5), (L,), dtype=jnp.float32))
+                jax.random.fold_in(key, -(1 << 30)), (L,), dtype=jnp.float32))
             st = st + (tgas0,)
-        if reflecting:
-            st = st + (jnp.zeros((n_cols, 1), jnp.float32),)
-            if D:
-                st = st + (jnp.zeros((n_cols, D), jnp.float32),)
-        kb, launched, st, columns, vol = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), launched, st, columns, vol))
+        kb, launched, st, columns, vol, srf_acc = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), launched, st, columns, vol, srf0))
         columns, vol, _ = flush(columns, vol, st[9], st[1], st[2], st[3])
-        # Lanes alive at the block cap vanish with their weight: count bad.
+        # Lanes alive at the block cap vanish with their weight: count bad
+        # (in reflecting mode a paused bottom hit loses its possible
+        # continuation the same way — its Fdn is already tallied).
         n_bad = jnp.sum(st[10] + st[0].astype(jnp.int32))
+        if reflecting:
+            n_bad = n_bad + jnp.sum((st[9] == 2).astype(jnp.int32))
 
         zero_cols = jnp.zeros(n_cols, jnp.float32)
         zero0 = jnp.zeros(0, jnp.float32)
-        idx_sfc = 13 + (1 if gas_mode else 0)
         if D:
             coll = st[12].reshape(n_cols * D)
             # Component slot 0 is the surface; slot 1 single scattering.
-            srf = (st[idx_sfc + 1].reshape(n_cols * D) if reflecting
+            srf = (srf_acc.reshape(n_cols * D) if reflecting
                    else jnp.zeros_like(coll))
             intensity = coll + srf
             by_comp = jnp.stack([srf, coll], axis=1).reshape(n_cols * D * 2)
         else:
             intensity = by_comp = zero0
         fdn = columns[:, 1]
-        if reflecting:
-            # Bottom-boundary flux lives in the eager accumulator (kind 2
-            # is never written when A > 0).
-            fdn = fdn + st[idx_sfc][:, 0]
         return RawTallies(
             flux_up=columns[:, 0], flux_down=fdn,
             flux_absorbed=(columns[:, 2] if absorbing or gas_mode

@@ -504,6 +504,64 @@ def test_column_medium_matches_general_kernel():
     assert int(rf.n_bad) == 0
 
 
+def test_multi_entry_column_props_matches_general_kernel():
+    """Per-column ssa + multi-entry (Mie/Reff-keyed) phase tables elect the
+    fastpath via the widened column read (FastPlan.column_props) — the
+    PhysicalPropertiesToDomain production shape, where each column's Reff
+    keys its own table entry (PhysicalPropertiesToDomain.f95:242-276)."""
+    from i3rc_tpu.core.optics import Domain
+    from i3rc_tpu.core.phase_functions import (
+        PhaseFunction,
+        PhaseFunctionTable,
+        henyey_greenstein_coefficients,
+    )
+    from i3rc_tpu.integrators.integrator import Integrator
+
+    rng = np.random.default_rng(7)
+    nx = ny = 8
+    nz = 10
+    v = rng.uniform(0.01, 0.06, (nx, ny))
+    v[1, 1] = 0.0
+    ntop = rng.integers(1, nz + 1, (nx, ny))
+    ssa_col = rng.uniform(0.9, 1.0, (nx, ny))
+    pfi_col = rng.integers(0, 3, (nx, ny))
+    ext = np.zeros((nx, ny, nz))
+    ssa = np.zeros((nx, ny, nz))
+    pfi = np.zeros((nx, ny, nz), np.int32)
+    for i in range(nx):
+        for j in range(ny):
+            ext[i, j, :ntop[i, j]] = v[i, j]
+            ssa[i, j, :ntop[i, j]] = ssa_col[i, j]
+            pfi[i, j, :ntop[i, j]] = pfi_col[i, j]
+    table = PhaseFunctionTable.from_phase_functions(
+        [PhaseFunction.from_legendre(henyey_greenstein_coefficients(g, 32))
+         for g in (0.5, 0.7, 0.85)], key=[2.0, 6.0, 10.0])
+    dom = Domain.create(np.linspace(0, 240, nx + 1), np.linspace(0, 240, ny + 1),
+                        np.linspace(0, 120, nz + 1))
+    dom = dom.add_component("mie", ext, ssa, pfi, table)
+    src = PhotonSource.directional(0.5, 0.0)
+    n = 1 << 15
+    fast = Integrator.create(dom, config=IntegratorConfig(
+        use_ray_tracing=False, max_events=500, compute_volume_absorption=False))
+    gen = Integrator.create(dom, config=IntegratorConfig(
+        use_ray_tracing=False, max_events=500, compute_volume_absorption=False,
+        use_fastpath=False, majorant_block_size=4))
+    plan = fast_plan(fast.geometry, fast._flat, fast.optics, fast.surface,
+                     fast.intensity, fast.config)
+    assert plan is not None and plan.column_props
+    assert plan.column_data.shape[1] == 5 and plan.cubic_entries == 3
+    rf = fast.batch_fn(src, n)(jax.random.PRNGKey(2))
+    rg = gen.batch_fn(src, n)(jax.random.PRNGKey(3))
+    sigma = float(np.sqrt(2 * 0.3 * 0.7 / n))
+    for field in ("mean_flux_up", "mean_flux_down", "mean_flux_absorbed"):
+        assert float(getattr(rf, field)) == pytest.approx(
+            float(getattr(rg, field)), abs=4 * sigma), field
+    closure = float(rf.mean_flux_up + rf.mean_flux_down
+                    + rf.mean_flux_absorbed)
+    assert closure == pytest.approx(1.0, abs=1e-5)
+    assert int(rf.n_bad) == 0
+
+
 def test_column_structure_detection():
     from i3rc_tpu.integrators.fastpath import column_structure
 
