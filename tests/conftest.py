@@ -1,4 +1,4 @@
-"""Test configuration: force an 8-device virtual CPU mesh.
+"""Test configuration: force an 8-device virtual CPU mesh + suite tiers.
 
 Multi-chip hardware is not available in CI; sharding tests run on 8 virtual
 CPU devices (the reference's analog is the no-MPI stub backend with identical
@@ -8,9 +8,74 @@ Note: the environment's axon (TPU) plugin registers itself from
 sitecustomize and overwrites jax_platforms to "axon,cpu", so env vars alone
 don't stick — the config must be updated after import, before first device
 use.
+
+Suite tiers: the heavy statistical cross-checks (large photon counts,
+kernel-vs-kernel and oracle gates at tight sigma) are marked ``slow`` and
+skipped by default so ``pytest -q`` stays a <5-minute gate; run the FULL
+~40-minute suite with ``pytest --slow`` before release-grade changes to the
+transport kernels.  The slow list lives here (node-id substrings) so test
+files stay unmarked.
 """
 
 import jax
+import pytest
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+
+# Heavy statistical tests (measured >= ~12 s each; ~2/3 of total wall time).
+# Everything here is a high-photon-count consistency gate whose failure
+# modes are statistical drift, not smoke breakage — the quick tier keeps at
+# least one cheap test of every feature they cover.
+SLOW_TESTS = [
+    "test_sharded_domain.py::test_sharded_matches_single_device",
+    "test_fastpath.py::test_fastpath_radiance_matches_general_kernel",
+    "test_fastpath.py::test_fastpath_absorbing_radiance_matches_general",
+    "test_fastpath.py::test_absorbing_reflecting_volume_combo",
+    "test_fastpath.py::test_reflecting_surface_radiance",
+    "test_fastpath.py::test_absorbing_cloud_is_eligible",
+    "test_fastpath.py::test_volume_absorption_on_fastpath",
+    "test_fastpath.py::test_fastpath_matches_general_kernel",
+    "test_fastpath.py::test_pallas_event_block_matches_xla_fastpath",
+    "test_fastpath.py::test_column_medium_matches_general_kernel",
+    "test_fastpath.py::test_reflecting_surface_on_fastpath",
+    "test_fastpath.py::test_tabulated_phase_on_fastpath",
+    "test_fastpath.py::test_gas_channel_eligibility_and_closure",
+    "test_fastpath.py::test_fastpath_refill_budget_exact",
+    "test_integrator.py::test_wavefront_matches_scalar_oracle_step_cloud",
+    "test_integrator.py::test_single_scattering_radiance",
+    "test_integrator.py::test_conservative_energy_closure",
+    "test_parallel.py::test_two_process_distributed",
+    "test_tools.py::test_physical_to_domain_pipeline",
+    "test_tools.py::test_make_mie_table_water",
+    "test_drivers.py::test_monte_carlo_driver_flux_outputs",
+    "test_variance_reduction.py::test_ratio_tracking_unbiased",
+    "test_variance_reduction.py::test_intensity_mode_agreement",
+    "test_variance_reduction.py::test_barker_clipping_redistributes",
+    "test_variance_reduction.py::test_iwabuchi_rr_unbiased",
+    "test_variance_reduction.py::test_hybrid_with_orig_orders",
+    "test_variance_reduction.py::test_hybrid_phase_functions",
+    "test_phase_functions.py::test_legendre_projection_roundtrip",
+    "test_external_validation.py::test_absorbing_slab_vs_oracle",
+    "test_external_validation.py::test_gas_channel_slab_vs_oracle",
+    "test_external_validation.py::test_pallas_fastpath_slab_vs_oracle",
+    "test_external_validation.py::test_gas_override_spectral_path_vs_oracle",
+    "test_spectral.py::test_broadband_beer_lambert",
+    "test_misc_features.py::test_irregular_z_grid_energy_closure",
+]
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--slow", action="store_true", default=False,
+        help="also run the heavy statistical suite (~40 min total)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--slow"):
+        return
+    skip = pytest.mark.skip(
+        reason="slow statistical gate; run with --slow for the full suite")
+    for item in items:
+        if any(s in item.nodeid for s in SLOW_TESTS):
+            item.add_marker(skip)
