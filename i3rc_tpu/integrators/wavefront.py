@@ -56,7 +56,16 @@ import jax.numpy as jnp
 import numpy as np
 
 from i3rc_tpu.core.rng import TINY, exponential_deviate
-from i3rc_tpu.ops.dda import BAD, EXIT_BOT, EXIT_TOP, SCATTER, GridGeometry, trace_extinction
+from i3rc_tpu.ops.dda import (
+    BAD,
+    EXIT_BOT,
+    EXIT_TOP,
+    SCATTER,
+    TRACING,
+    GridGeometry,
+    make_crossing_stepper,
+    trace_extinction,
+)
 from i3rc_tpu.ops.gather import ONEHOT_MAX_ROWS, read_rows
 from i3rc_tpu.ops.tally import tally_add, tally_multi
 
@@ -286,9 +295,31 @@ def make_batch_tracer(geom: GridGeometry, optics: DeviceOptics, tables: DeviceTa
     comp_offsets = jnp.arange(n_comp, dtype=jnp.int32)
     L = int(n_lanes or min(n_photons, 1 << 20))
     n_cells = optics.n_cells
+    # Queued (persistent-ray) local estimation — see IntegratorConfig.
+    # Ratio tracking keeps its inline estimator (its rounds are already
+    # bounded by the majorant optical depth, not the cell count).
+    use_queued = (compute_intensity
+                  and config.use_queued_intensity
+                  and not (config.use_ratio_tracking_for_intensity
+                           and coarse_geom is not None))
+    ray_steps = max(1, int(config.intensity_ray_steps))
+    if use_queued:
+        LD = L * n_dirs
+        _dirs = intensity.directions  # (3, D)
+        dxs_t = jnp.broadcast_to(_dirs[0][None, :], (L, n_dirs)).reshape(LD)
+        dys_t = jnp.broadcast_to(_dirs[1][None, :], (L, n_dirs)).reshape(LD)
+        dzs_t = jnp.broadcast_to(_dirs[2][None, :], (L, n_dirs)).reshape(LD)
+        exit_status_t = jnp.broadcast_to(intensity.exit_status[None, :],
+                                         (L, n_dirs)).reshape(LD)
+        d_idx_t = jnp.broadcast_to(
+            jnp.arange(n_dirs, dtype=jnp.int32)[None, :], (L, n_dirs)
+        ).reshape(LD)
+    RAY_DONE = jnp.int32(-1)  # slot drained / never armed
     # Safety cap on loop iterations: with refill, the loop needs about
-    # (n_photons / L) * mean_orders + tail iterations.
-    max_iters = config.max_events * (n_photons // L + 2)
+    # (n_photons / L) * mean_orders + tail iterations; ray stalls can
+    # roughly double the queued-radiance event count.
+    max_iters = config.max_events * (n_photons // L + 2) * (2 if use_queued
+                                                            else 1)
 
     def read_cell_data(opt, flat_cell):
         """One fused read of every per-cell quantity: (L, 1 + 3*ncomp).
@@ -507,16 +538,164 @@ def make_batch_tracer(geom: GridGeometry, optics: DeviceOptics, tables: DeviceTa
             tallies["intensity_by_component"], byc_idx, contrib.reshape(L * D))
         return tallies
 
+    _BIG_TAU = jnp.float32(1.0e30)
+
+    def intensity_emission(opt, key, emit, is_surface, px, py, pz,
+                           ux, uy, uz, weight, comp, pf_idx, order, rays):
+        """Arm the D per-lane ray slots for lanes in ``emit``.
+
+        All contribution prefactors are computed here, at emission time, so
+        ray completion only needs exp(-tau): mirrors
+        computeIntensityContribution's per-direction prefactor
+        (monteCarloRadiativeTransfer.f95:1419-1510) with hybrid-table
+        selection, and folds the Iwabuchi small/large split (:1536-1596)
+        into a unified completion rule
+            contrib = escaped ? (tau <= taumax ? pfw_exp*exp(-tau)
+                                               : pfw_flat) : 0
+        (plain estimator: taumax = +inf, target = +inf — trace to the
+        boundary; Iwabuchi small: emit only if accepted, taumax = -1,
+        target = tau_free; Iwabuchi large: target = tau_max + tau_free).
+        """
+        D = n_dirs
+        dirs = intensity.directions
+        proj = jnp.clip(ux[:, None] * dirs[0][None, :]
+                        + uy[:, None] * dirs[1][None, :]
+                        + uz[:, None] * dirs[2][None, :], -1.0, 1.0)
+        ang = jnp.arccos(proj)
+        row = (comp * tables.max_entries + pf_idx) * tables.n_forward_steps
+        pos = ang / PI
+        pf_val = _table_lookup(tables.forward, row[:, None], pos,
+                               tables.n_forward_steps)
+        if config.use_hybrid_phase_funs and config.num_orders_orig_phase_fun > 0:
+            pf_orig = _table_lookup(tables.forward_orig, row[:, None], pos,
+                                    tables.n_forward_steps)
+            pf_val = jnp.where(
+                (order <= config.num_orders_orig_phase_fun)[:, None],
+                pf_orig, pf_val)
+        norm_pf = pf_val / (4.0 * PI * intensity.abs_mu[None, :])
+        norm_pf = jnp.where(is_surface[:, None], 1.0 / PI, norm_pf)
+
+        if config.use_russian_roulette_for_intensity:
+            u_free, u_accept = (jax.random.uniform(kk, (L, D),
+                                                   dtype=jnp.float32)
+                                for kk in jax.random.split(key, 2))
+            tau_free = exponential_deviate(u_free)
+            small = PI * norm_pf <= config.zeta_min
+            tau_max = -jnp.log(config.zeta_min
+                               / jnp.maximum(PI * norm_pf, TINY))
+            accept_small = u_accept <= PI * norm_pf / config.zeta_min
+            emit_slot = emit[:, None] & (~small | accept_small)
+            target = jnp.where(small, tau_free, tau_max + tau_free)
+            pfw_exp = jnp.where(small, 0.0, weight[:, None] * norm_pf)
+            pfw_flat = jnp.broadcast_to(
+                weight[:, None] * jnp.float32(config.zeta_min / PI), (L, D))
+            taumax = jnp.where(small, -1.0, tau_max)
+        else:
+            emit_slot = jnp.broadcast_to(emit[:, None], (L, D))
+            target = jnp.full((L, D), _BIG_TAU)
+            pfw_exp = weight[:, None] * norm_pf
+            pfw_flat = jnp.zeros((L, D), jnp.float32)
+            taumax = jnp.full((L, D), _BIG_TAU)
+
+        def put(name, new2d):
+            old = rays[name].reshape(L, D)
+            rays[name] = jnp.where(emit[:, None], new2d,
+                                   old).reshape(LD).astype(rays[name].dtype)
+
+        put("status", jnp.where(emit_slot, TRACING, RAY_DONE))
+        for name, src in (("px", px), ("py", py), ("pz", pz)):
+            put(name, src[:, None])
+        put("ix", geom.locate_x(px)[:, None])
+        put("iy", geom.locate_y(py)[:, None])
+        put("iz", geom.locate_z(pz)[:, None])
+        put("tau", jnp.zeros((1, 1), jnp.float32))
+        put("nc", jnp.zeros((1, 1), jnp.int32))
+        put("target", target)
+        put("taumax", taumax)
+        put("pfw_exp", pfw_exp)
+        put("pfw_flat", pfw_flat)
+        comp_slot = jnp.where(is_surface, 0, comp + 1)  # component 0 = surface
+        rays["cslot"] = jnp.where(emit, comp_slot, rays["cslot"])
+        return rays
+
+    def intensity_ray_advance(opt, rays):
+        """Advance every armed ray by up to ray_steps cell crossings."""
+        stepper = make_crossing_stepper(
+            geom, opt.total_ext, dxs_t, dys_t, dzs_t,
+            cell_matrix=opt.cell_matrix if optics.use_onehot else None)
+        rstate = (rays["px"], rays["py"], rays["pz"],
+                  rays["ix"], rays["iy"], rays["iz"],
+                  rays["tau"], rays["status"])
+        live0 = rays["status"] == TRACING
+        always = jnp.ones((LD,), bool)
+        for _ in range(ray_steps):
+            rstate = stepper(rstate, rays["target"], always)
+        (rays["px"], rays["py"], rays["pz"], rays["ix"], rays["iy"],
+         rays["iz"], rays["tau"], status) = rstate
+        # Crossing budget (grazing rays): counted in blocks of ray_steps.
+        nc = rays["nc"] + jnp.where(live0, ray_steps, 0)
+        status = jnp.where((status == TRACING) & (nc > max_int_crossings),
+                           BAD, status)
+        rays["nc"] = nc
+        rays["status"] = status
+        return rays
+
+    def intensity_drain(rays, tallies):
+        """Tally completed rays and free their slots."""
+        status = rays["status"]
+        fin = status > TRACING          # SCATTER / EXIT_* / BAD
+        esc = fin & (status == exit_status_t)
+        tau = rays["tau"]
+        contrib = jnp.where(
+            esc,
+            jnp.where(tau <= rays["taumax"],
+                      rays["pfw_exp"] * jnp.exp(-jnp.minimum(tau, 80.0)),
+                      rays["pfw_flat"]),
+            0.0)
+        cslot_t = jnp.broadcast_to(rays["cslot"][:, None],
+                                   (L, n_dirs)).reshape(LD)
+        if config.limit_intensity_contributions:
+            over = jnp.maximum(contrib - config.max_intensity_contribution,
+                               0.0)
+            contrib = jnp.minimum(contrib, config.max_intensity_contribution)
+            ex_idx = d_idx_t * (n_comp + 1) + cslot_t
+            tallies["intensity_excess"] = tally_add(
+                tallies["intensity_excess"], ex_idx, over)
+        col_f = rays["ix"] * n_y + rays["iy"]
+        int_idx = col_f * n_dirs + d_idx_t
+        tallies["intensity"] = tally_add(tallies["intensity"], int_idx,
+                                         contrib)
+        byc_idx = int_idx * (n_comp + 1) + cslot_t
+        tallies["intensity_by_component"] = tally_add(
+            tallies["intensity_by_component"], byc_idx, contrib)
+        rays["status"] = jnp.where(fin, RAY_DONE, status)
+        return rays, tallies
+
     def event_step(opt, key, source, k, state):
+        if use_queued:
+            *core, qs, tallies = state
+        else:
+            *core, tallies = state
+            qs = None
         if use_rt:
-            (alive, launched, x, y, z, ux, uy, uz, w,
-             ix, iy, iz, order, tallies) = state
+            (alive, launched, x, y, z, ux, uy, uz, w, ix, iy, iz, order) = core
         else:
             # Cell indices are recomputed from positions each event in the
             # Woodcock / max cross-section modes, so they stay out of the
             # loop carry (3 fewer arrays to mask and spill per iteration).
-            (alive, launched, x, y, z, ux, uy, uz, w, order, tallies) = state
+            (alive, launched, x, y, z, ux, uy, uz, w, order) = core
             ix = iy = iz = None
+
+        if use_queued:
+            qs = dict(qs)
+            rays = dict(qs["rays"])
+            pend = qs["pend"]
+            rays_free = ~jnp.any((rays["status"] == TRACING).reshape(L, n_dirs),
+                                 axis=1)
+            # Frozen lanes whose rays just drained resolve this event; lanes
+            # still waiting skip transport entirely.  (pend lanes are alive,
+            # so the refill below never touches them.)
+            release = alive & pend & rays_free
 
         # Static one-component specializations (meta fields of the optics
         # pytree, so spectral overrides recompile as needed): uniform ssa and
@@ -577,6 +756,10 @@ def make_batch_tracer(geom: GridGeometry, optics: DeviceOptics, tables: DeviceTa
             launched = launched + jnp.sum(refill.astype(jnp.int32))
             alive = alive | refill
 
+        # Lanes that transport this event (must be bound AFTER the refill
+        # extends ``alive``): queued-radiance pend lanes sit out.
+        active = (alive & ~pend) if use_queued else alive
+
         tau = exponential_deviate(u_tau)
         inv_max_ext = 1.0 / jnp.maximum(opt.max_extinction, 1e-30)
 
@@ -584,12 +767,12 @@ def make_batch_tracer(geom: GridGeometry, optics: DeviceOptics, tables: DeviceTa
             # Ray tracing: travel until tau extinction accumulates (:481-487).
             (rx, ry, rz, rix, riy, riz, _tau_acc, status) = trace_extinction(
                 geom, opt.total_ext, x, y, z, ix, iy, iz, ux, uy, uz,
-                tau, alive, max_crossings,
+                tau, active, max_crossings,
                 cell_matrix=opt.cell_matrix if optics.use_onehot else None)
-            exit_top = alive & (status == EXIT_TOP)
-            exit_bot = alive & (status == EXIT_BOT)
-            collide = alive & (status == SCATTER)
-            bad = alive & (status == BAD)
+            exit_top = active & (status == EXIT_TOP)
+            exit_bot = active & (status == EXIT_BOT)
+            collide = active & (status == SCATTER)
+            bad = active & (status == BAD)
         elif use_woodcock:
             # Tentative collision by DDA over the block-majorant grid.
             cbx = coarse_geom.locate_x(x)
@@ -597,12 +780,12 @@ def make_batch_tracer(geom: GridGeometry, optics: DeviceOptics, tables: DeviceTa
             cbz = coarse_geom.locate_z(z)
             (rx, ry, rz, fbx, fby, fbz, _tau_acc, status) = trace_extinction(
                 coarse_geom, opt.block_majorant, x, y, z, cbx, cby, cbz,
-                ux, uy, uz, tau, alive, max_block_crossings,
+                ux, uy, uz, tau, active, max_block_crossings,
                 cell_matrix=opt.block_majorant[:, None])
-            exit_top = alive & (status == EXIT_TOP)
-            exit_bot = alive & (status == EXIT_BOT)
-            collide = alive & (status == SCATTER)
-            bad = alive & (status == BAD)
+            exit_top = active & (status == EXIT_TOP)
+            exit_bot = active & (status == EXIT_BOT)
+            collide = active & (status == SCATTER)
+            bad = active & (status == BAD)
             rix = geom.locate_x(rx)
             riy = geom.locate_y(ry)
             riz = geom.locate_z(rz)
@@ -617,9 +800,9 @@ def make_batch_tracer(geom: GridGeometry, optics: DeviceOptics, tables: DeviceTa
             px = x + ux * s
             py = y + uy * s
             pz = z + uz * s
-            exit_top = alive & (pz >= geom.z_max)
-            exit_bot = alive & ~exit_top & (pz <= geom.z0)
-            collide = alive & ~exit_top & ~exit_bot
+            exit_top = active & (pz >= geom.z_max)
+            exit_bot = active & ~exit_top & (pz <= geom.z0)
+            collide = active & ~exit_top & ~exit_bot
             # Trace back to the boundary plane for the tally column (:504-527).
             safe_uz = jnp.where(jnp.abs(uz) > 1e-30, uz, 1.0)
             bt = jnp.where(exit_top, (pz - geom.z_max) / safe_uz,
@@ -720,53 +903,152 @@ def make_batch_tracer(geom: GridGeometry, optics: DeviceOptics, tables: DeviceTa
                 tallies["volume_absorption"] = tally_add(
                     tallies["volume_absorption"], flat_cell, absorbed, physical)
 
-        # --- local-estimate radiance (:565-580 surface, :652-668 collision) --
-        if compute_intensity:
-            any_event = physical | surf_alive
-            w_event = jnp.where(exit_bot, w_srf, w_sc)
-            tallies = intensity_contribution(
-                opt, k_int, any_event, exit_bot, rx, ry, rz, rix, riy, riz,
-                ux, uy, uz, w_event, comp, pf_idx, order_next, tallies)
-
-        # --- Russian roulette (:673-679) --------------------------------------
-        if rr_active:
-            rr_w = config.russian_roulette_w
-            do_rr = physical & (w_sc < rr_w / 2.0)
-            killed = do_rr & (u_rr >= w_sc / rr_w)
-            w_sc = jnp.where(do_rr, jnp.where(killed, 0.0, rr_w), w_sc)
-        scat_alive = physical & (w_sc > TINY)
-
-        # --- scattering angle + rotation (:682-688) ----------------------------
-        cos_scat = sample_cos_scat(comp, pf_idx, u_scat)
-        nux, nuy, nuz = rotate_direction(ux, uy, uz, cos_scat, u_chi)
-
-        # --- per-photon event budget (TPU bad-photon guard) --------------------
-        over_budget = (scat_alive | surf_alive) & (order_next >= config.max_events)
-        bad = bad | over_budget
-
-        # --- commit per-lane updates -------------------------------------------
         math_move = (collide & ~physical) if not use_rt else jnp.zeros_like(alive)
-        moved = scat_alive | surf_alive | math_move
-        x = jnp.where(moved, rx, x)
-        y = jnp.where(moved, ry, y)
-        z = jnp.where(surf_alive, geom.z0, jnp.where(moved, rz, z))
-        if use_rt:
-            ix = jnp.where(moved, rix, ix)
-            iy = jnp.where(moved, riy, iy)
-            iz = jnp.where(surf_alive, 0, jnp.where(moved, riz, iz))
-        ux = jnp.where(scat_alive, nux, jnp.where(surf_alive, sux, ux))
-        uy = jnp.where(scat_alive, nuy, jnp.where(surf_alive, suy, uy))
-        uz = jnp.where(scat_alive, nuz, jnp.where(surf_alive, suz, uz))
-        w = jnp.where(physical, w_sc, jnp.where(exit_bot, w_srf, w))
-        order = order_next
-        alive = (scat_alive | surf_alive | math_move) & ~over_budget
+
+        if use_queued:
+            # --- queued local estimation: emit / defer / resolve -------------
+            # This event's new estimation events (physical collisions and
+            # live surface reflections) emit their D shadow rays NOW if the
+            # lane's slots are free, else the lane freezes (pend) with its
+            # record fields until the slots drain; frozen lanes released
+            # this event resolve with this event's deviates.  Exactly the
+            # inline estimator's expectations, at full ray occupancy.
+            want_surf = (jnp.zeros_like(exit_bot) if black_surface
+                         else exit_bot)
+            want = physical | want_surf
+            emit_now = want & rays_free
+            defer = want & ~rays_free
+            is_surf_eff = jnp.where(release, qs["pend_surf"], want_surf)
+            comp_eff = jnp.where(release, qs["pend_comp"], comp)
+            pf_eff = jnp.where(release, qs["pend_pf"], pf_idx)
+            px_eff = jnp.where(release, x, rx)
+            py_eff = jnp.where(release, y, ry)
+            pz_eff = jnp.where(release, z, rz)
+            resolve = emit_now | release
+            res_surf = resolve & is_surf_eff
+            res_phys = resolve & ~is_surf_eff
+
+            # Surface resolution: BRDF/albedo with the FROZEN incoming
+            # direction and THIS event's outgoing draw (:556-563); the
+            # record weight is the post-reflection weight (:565-580).
+            if black_surface:
+                w_srf_eff = jnp.zeros_like(w)
+                surf_alive_eff = jnp.zeros_like(res_surf)
+            else:
+                refl_eff = surface_reflectance(px_eff, py_eff, uz, new_mu_s,
+                                               jnp.arctan2(uy, ux), new_phi_s)
+                w_srf_eff = w * refl_eff
+                surf_alive_eff = res_surf & (w_srf_eff > TINY)
+
+            w_rec = jnp.where(is_surf_eff, w_srf_eff,
+                              jnp.where(release, w, w_sc))
+            emit = resolve & (~is_surf_eff | (w_srf_eff > TINY))
+            rays = intensity_emission(opt, k_int, emit, is_surf_eff,
+                                      px_eff, py_eff, pz_eff, ux, uy, uz,
+                                      w_rec, comp_eff, pf_eff, order_next,
+                                      rays)
+
+            # --- Russian roulette at resolution (:673-679) -------------------
+            w_res = jnp.where(release, w, w_sc)
+            if rr_active:
+                rr_w = config.russian_roulette_w
+                do_rr = res_phys & (w_res < rr_w / 2.0)
+                killed = do_rr & (u_rr >= w_res / rr_w)
+                w_res = jnp.where(do_rr, jnp.where(killed, 0.0, rr_w), w_res)
+            scat_alive = res_phys & (w_res > TINY)
+
+            # --- scattering angle + rotation (:682-688) ----------------------
+            cos_scat = sample_cos_scat(comp_eff, pf_eff, u_scat)
+            nux, nuy, nuz = rotate_direction(ux, uy, uz, cos_scat, u_chi)
+
+            over_budget = ((scat_alive | surf_alive_eff)
+                           & (order_next >= config.max_events))
+            bad = bad | over_budget
+
+            # --- commit ------------------------------------------------------
+            move_now = want | math_move        # transported lanes that stopped
+            x = jnp.where(move_now, rx, x)
+            y = jnp.where(move_now, ry, y)
+            z = jnp.where(move_now, rz, z)
+            if use_rt:
+                ix = jnp.where(move_now, rix, ix)
+                iy = jnp.where(move_now, riy, iy)
+                iz = jnp.where(res_surf, 0, jnp.where(move_now, riz, iz))
+            ux = jnp.where(scat_alive, nux,
+                           jnp.where(surf_alive_eff, sux, ux))
+            uy = jnp.where(scat_alive, nuy,
+                           jnp.where(surf_alive_eff, suy, uy))
+            uz = jnp.where(scat_alive, nuz,
+                           jnp.where(surf_alive_eff, suz, uz))
+            w = jnp.where(res_phys, w_res, w)
+            w = jnp.where(res_surf, w_srf_eff, w)
+            w = jnp.where(defer & physical, w_sc, w)  # freeze post-absorption
+            order = order_next
+            held = alive & pend & ~release
+            alive = (scat_alive | surf_alive_eff | math_move | defer
+                     | held) & ~over_budget
+            qs["pend"] = defer | held
+            qs["pend_surf"] = jnp.where(defer, want_surf,
+                                        qs["pend_surf"] & (pend & ~release))
+            qs["pend_comp"] = jnp.where(defer, comp, qs["pend_comp"])
+            qs["pend_pf"] = jnp.where(defer, pf_idx, qs["pend_pf"])
+
+            # --- advance + drain the persistent rays -------------------------
+            rays = intensity_ray_advance(opt, rays)
+            rays, tallies = intensity_drain(rays, tallies)
+            qs["rays"] = rays
+        else:
+            # --- local-estimate radiance, inline (:565-580, :652-668) --------
+            if compute_intensity:
+                any_event = physical | surf_alive
+                w_event = jnp.where(exit_bot, w_srf, w_sc)
+                tallies = intensity_contribution(
+                    opt, k_int, any_event, exit_bot, rx, ry, rz, rix, riy,
+                    riz, ux, uy, uz, w_event, comp, pf_idx, order_next,
+                    tallies)
+
+            # --- Russian roulette (:673-679) ---------------------------------
+            if rr_active:
+                rr_w = config.russian_roulette_w
+                do_rr = physical & (w_sc < rr_w / 2.0)
+                killed = do_rr & (u_rr >= w_sc / rr_w)
+                w_sc = jnp.where(do_rr, jnp.where(killed, 0.0, rr_w), w_sc)
+            scat_alive = physical & (w_sc > TINY)
+
+            # --- scattering angle + rotation (:682-688) ----------------------
+            cos_scat = sample_cos_scat(comp, pf_idx, u_scat)
+            nux, nuy, nuz = rotate_direction(ux, uy, uz, cos_scat, u_chi)
+
+            # --- per-photon event budget (TPU bad-photon guard) --------------
+            over_budget = (scat_alive | surf_alive) & (order_next >= config.max_events)
+            bad = bad | over_budget
+
+            # --- commit per-lane updates -------------------------------------
+            moved = scat_alive | surf_alive | math_move
+            x = jnp.where(moved, rx, x)
+            y = jnp.where(moved, ry, y)
+            z = jnp.where(surf_alive, geom.z0, jnp.where(moved, rz, z))
+            if use_rt:
+                ix = jnp.where(moved, rix, ix)
+                iy = jnp.where(moved, riy, iy)
+                iz = jnp.where(surf_alive, 0, jnp.where(moved, riz, iz))
+            ux = jnp.where(scat_alive, nux, jnp.where(surf_alive, sux, ux))
+            uy = jnp.where(scat_alive, nuy, jnp.where(surf_alive, suy, uy))
+            uz = jnp.where(scat_alive, nuz, jnp.where(surf_alive, suz, uz))
+            w = jnp.where(physical, w_sc, jnp.where(exit_bot, w_srf, w))
+            order = order_next
+            alive = (scat_alive | surf_alive | math_move) & ~over_budget
+
         tallies["n_bad"] = tallies["n_bad"] + jnp.sum(bad).astype(jnp.int32)
         tallies["n_lane_events"] = tallies["n_lane_events"] + jnp.sum(
             (exit_top | exit_bot | collide).astype(jnp.float32))
         if use_rt:
-            return (alive, launched, x, y, z, ux, uy, uz, w, ix, iy, iz,
-                    order, tallies)
-        return (alive, launched, x, y, z, ux, uy, uz, w, order, tallies)
+            core = (alive, launched, x, y, z, ux, uy, uz, w, ix, iy, iz, order)
+        else:
+            core = (alive, launched, x, y, z, ux, uy, uz, w, order)
+        if use_queued:
+            return core + (qs, tallies)
+        return core + (tallies,)
 
     def trace(key, batch, source=None, optics_override=None):
         opt = optics if optics_override is None else optics_override
@@ -815,18 +1097,42 @@ def make_batch_tracer(geom: GridGeometry, optics: DeviceOptics, tables: DeviceTa
         def cond(carry):
             k, state = carry
             alive_, launched_ = state[0], state[1]
-            budget_left = launched_ < n_photons
-            return (jnp.any(alive_) | budget_left) & (k < max_iters)
+            busy = jnp.any(alive_) | (launched_ < n_photons)
+            if use_queued:
+                # Persistent rays may outlive their photons — drain them.
+                busy = busy | jnp.any(state[-2]["rays"]["status"] == TRACING)
+            return busy & (k < max_iters)
 
         def body(carry):
             k, state = carry
             return k + 1, event_step(opt, key, source, k, state)
 
         if use_rt:
-            state = (alive, launched, x, y, z, ux, uy, uz, w, ix, iy, iz,
-                     order, tallies)
+            core = (alive, launched, x, y, z, ux, uy, uz, w, ix, iy, iz,
+                    order)
         else:
-            state = (alive, launched, x, y, z, ux, uy, uz, w, order, tallies)
+            core = (alive, launched, x, y, z, ux, uy, uz, w, order)
+        if use_queued:
+            zeros_ld_f = jnp.zeros(LD, jnp.float32)
+            zeros_ld_i = jnp.zeros(LD, jnp.int32)
+            qs0 = {
+                "pend": jnp.zeros(L, bool),
+                "pend_surf": jnp.zeros(L, bool),
+                "pend_comp": jnp.zeros(L, jnp.int32),
+                "pend_pf": jnp.zeros(L, jnp.int32),
+                "rays": {
+                    "status": jnp.full(LD, RAY_DONE, jnp.int32),
+                    "px": zeros_ld_f, "py": zeros_ld_f, "pz": zeros_ld_f,
+                    "ix": zeros_ld_i, "iy": zeros_ld_i, "iz": zeros_ld_i,
+                    "tau": zeros_ld_f, "nc": zeros_ld_i,
+                    "target": zeros_ld_f, "taumax": zeros_ld_f,
+                    "pfw_exp": zeros_ld_f, "pfw_flat": zeros_ld_f,
+                    "cslot": jnp.zeros(L, jnp.int32),
+                },
+            }
+            state = core + (qs0, tallies)
+        else:
+            state = core + (tallies,)
         k_final, state = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
         alive = state[0]
         tallies = state[-1]

@@ -120,20 +120,19 @@ def _spacing(x):
     return _EPS * jnp.maximum(jnp.abs(x), jnp.float32(1e-20))
 
 
-def trace_extinction(geom: GridGeometry, total_ext_flat: jax.Array,
-                     x, y, z, ix, iy, iz, ux, uy, uz,
-                     tau_target, active, max_crossings: int,
-                     cell_matrix: jax.Array | None = None):
-    """Trace lanes until tau_target extinction is accumulated or they exit.
+def make_crossing_stepper(geom: GridGeometry, total_ext_flat: jax.Array,
+                          ux, uy, uz, cell_matrix: jax.Array | None = None):
+    """One-cell-crossing step function over per-lane DDA state.
 
-    All arguments are per-lane arrays except geom/total_ext_flat/max_crossings.
-    ``total_ext_flat`` is total extinction raveled C-order over (nx, ny, nz).
-    Returns (x, y, z, ix, iy, iz, tau_accumulated, status); lanes with
-    ``active`` False pass through unchanged with status BAD ignored by caller.
+    The directions are fixed for the stepper's lifetime — trace_extinction
+    builds one per trace, and the persistent shadow-ray wavefront
+    (wavefront.py queued radiance) reuses one stepper across transport
+    events, advancing rays a bounded number of crossings per event instead
+    of running each trace to completion inline.
 
-    Mirrors accumulateExtinctionAlongPath semantics: stops exactly at
-    tau_target inside a cell (status SCATTER), or at the top/bottom boundary
-    (status EXIT_*), with periodic x/y.
+    Returns step(state, tau_target, active) -> state with
+    state = (x, y, z, ix, iy, iz, tau, status); lanes whose status is not
+    TRACING (or not active) pass through unchanged.
     """
     n_y, n_z = geom.n_y, geom.n_z
 
@@ -148,8 +147,8 @@ def trace_extinction(geom: GridGeometry, total_ext_flat: jax.Array,
     inv_uy = jnp.where(jnp.abs(uy) >= 2e-30, 1.0 / uy, _HUGE)
     inv_uz = jnp.where(jnp.abs(uz) >= 2e-30, 1.0 / uz, _HUGE)
 
-    def body(state):
-        x, y, z, ix, iy, iz, tau, status, it = state
+    def step(state, tau_target, active):
+        x, y, z, ix, iy, iz, tau, status = state
         tracing = active & (status == TRACING)
 
         # Next-face coordinates: arithmetic for regular grids (consistent
@@ -234,16 +233,43 @@ def trace_extinction(geom: GridGeometry, total_ext_flat: jax.Array,
         iz = jnp.clip(iz, 0, geom.n_z - 1)
 
         status = jnp.where(bad, BAD, status)
-        return x, y, z, ix, iy, iz, tau, status, it + 1
+        return x, y, z, ix, iy, iz, tau, status
 
-    def cond(state):
-        *_, status, it = state
+    return step
+
+
+def trace_extinction(geom: GridGeometry, total_ext_flat: jax.Array,
+                     x, y, z, ix, iy, iz, ux, uy, uz,
+                     tau_target, active, max_crossings: int,
+                     cell_matrix: jax.Array | None = None):
+    """Trace lanes until tau_target extinction is accumulated or they exit.
+
+    All arguments are per-lane arrays except geom/total_ext_flat/max_crossings.
+    ``total_ext_flat`` is total extinction raveled C-order over (nx, ny, nz).
+    Returns (x, y, z, ix, iy, iz, tau_accumulated, status); lanes with
+    ``active`` False pass through unchanged with status BAD ignored by caller.
+
+    Mirrors accumulateExtinctionAlongPath semantics: stops exactly at
+    tau_target inside a cell (status SCATTER), or at the top/bottom boundary
+    (status EXIT_*), with periodic x/y.
+    """
+    step = make_crossing_stepper(geom, total_ext_flat, ux, uy, uz,
+                                 cell_matrix=cell_matrix)
+
+    def body(carry):
+        state, it = carry
+        return step(state, tau_target, active), it + 1
+
+    def cond(carry):
+        state, it = carry
+        status = state[7]
         return jnp.any(active & (status == TRACING)) & (it < max_crossings)
 
     status0 = jnp.where(active, TRACING, BAD)
     tau0 = jnp.zeros_like(x)
-    state = (x, y, z, ix, iy, iz, tau0, status0, jnp.int32(0))
-    x, y, z, ix, iy, iz, tau, status, _ = jax.lax.while_loop(cond, body, state)
+    state = (x, y, z, ix, iy, iz, tau0, status0)
+    (state, _) = jax.lax.while_loop(cond, body, (state, jnp.int32(0)))
+    x, y, z, ix, iy, iz, tau, status = state
     # Lanes that exhausted the crossing budget are bad (grazing trajectories).
     status = jnp.where(active & (status == TRACING), BAD, status)
     return x, y, z, ix, iy, iz, tau, status

@@ -71,6 +71,30 @@ def test_conservative_energy_closure(use_rt):
     assert float(res.mean_flux_absorbed) == 0.0
 
 
+def test_refill_closure_general_kernel():
+    """Persistent-photon refill (lanes < photons) must conserve the budget.
+
+    Quick-tier guard for the refill machinery on the GENERAL kernel, with
+    and without radiance detectors: every launched photon must tally
+    (closure == 1 for a conservative cloud over a black surface).  The
+    failure mode — refilled lanes silently contributing nothing — once
+    scaled every output by lanes/photons and is invisible at lanes ==
+    photons, which is what most tests use.
+    """
+    dom = slab_domain(3.0, ssa=1.0)
+    n, lanes = 1 << 14, 1 << 12
+    for kwargs in ({}, {"intensity_mus": [0.5, -0.5],
+                        "intensity_phis": [0.0, 0.0]}):
+        integ = Integrator.create(
+            dom, config=IntegratorConfig(use_ray_tracing=False,
+                                         use_fastpath=False), **kwargs)
+        res = integ.batch_fn(PhotonSource.directional(0.5, 0.0), n,
+                             n_lanes=lanes)(jax.random.PRNGKey(11))
+        total = float(res.mean_flux_up + res.mean_flux_down)
+        assert abs(total - 1.0) < 5e-4, kwargs
+        assert int(res.n_bad) == 0
+
+
 def test_lambertian_surface_reflection():
     """tau=0 medium + albedo A: Fdn = 1, Fup = A exactly (no medium)."""
     table = hg_table()
