@@ -61,6 +61,9 @@ SLOW_TESTS = [
     "test_external_validation.py::test_pallas_fastpath_slab_vs_oracle",
     "test_external_validation.py::test_gas_override_spectral_path_vs_oracle",
     "test_spectral.py::test_broadband_beer_lambert",
+    "test_spectral.py::test_broadband_bake_fastpath_matches_traced",
+    "test_external_validation.py::test_cpp_oracle_radar_cloud_c1",
+    "test_external_validation.py::test_cpp_oracle_step_cloud_radiances",
     "test_misc_features.py::test_irregular_z_grid_energy_closure",
 ]
 

@@ -288,3 +288,87 @@ def test_cpp_oracle_step_cloud_anchor():
     sigma = np.sqrt(var / n + var / (1 << 24))
     assert fup == pytest.approx(I3RC_STEP_CLOUD_FUP, abs=2 * sigma)
     assert r["n_bad"] == 0
+
+
+@needs_native
+def test_cpp_oracle_radar_cloud_c1():
+    """Radar-cloud case 2 with the Dermendjian C.1 TABULATED phase function
+    vs the C++ oracle — the first external gate for this scene (it had
+    none; BENCH_CASES.md round 2).  The oracle samples C.1 by exact
+    piecewise-quadratic CDF inversion over the (mu, value) pairs
+    (scalar_mc.cc TabPhase); the framework samples its 256-segment cubic
+    mu(p) fit through the general kernel.  Same continuous distribution,
+    fully independent implementations.
+
+    Match: I3RC-Examples/i3rcRadarCloud.f95:27-156 (scene),
+    Code/inversePhaseFunctions.f95:68-176 (CDF construction)."""
+    import os
+
+    from i3rc_tpu.models.radar_cloud import DATA_DIR, load_extinction, make_radar_cloud
+
+    n = 1 << 15
+    dom = make_radar_cloud(phase_function="c1")
+    cfg = IntegratorConfig(use_ray_tracing=False, max_events=2000,
+                           compute_volume_absorption=False,
+                           majorant_block_size=16, use_fastpath=False)
+    integ = Integrator.create(dom, config=cfg)
+    res = integ.batch_fn(PhotonSource.directional(0.5, 0.0), n)(
+        jax.random.PRNGKey(21))
+    fup = float(res.mean_flux_up)
+
+    raw = np.loadtxt(os.path.join(DATA_DIR, "C.1_PF"))
+    mu = np.cos(np.deg2rad(raw[:, 0]))[::-1].copy()   # ascending in mu
+    val = raw[:, 1][::-1].copy()
+    ext = load_extinction()
+    ro = native_mc.trace(ext, np.ones_like(ext), 0.0,
+                         np.asarray(dom.x_edges), np.asarray(dom.y_edges),
+                         np.asarray(dom.z_edges), 0.5, 0.0, 4 * n, seed=23,
+                         phase_mu=mu, phase_val=val)
+    fup_o = ro["flux_up"].sum() / (4 * n)
+    sigma = np.sqrt(fup_o * (1 - fup_o) * (1.0 / n + 1.0 / (4 * n)))
+    assert fup == pytest.approx(fup_o, abs=3 * sigma)
+    # A few photons in the thickest columns legitimately hit the event
+    # budget (max_events=2000); they must stay a negligible fraction.
+    assert ro["n_bad"] == 0 and int(res.n_bad) < 1e-3 * n
+
+
+@needs_native
+def test_cpp_oracle_step_cloud_radiances():
+    """Step-cloud radiance triplet (the benchmark detector set) vs the C++
+    oracle's independent local-estimate implementation (path_tau + exact
+    HG phase values, scalar_mc.cc) — the first EXTERNAL gate for radiance
+    fields (they were validated only by a single-scatter closed form and
+    kernel-vs-kernel agreement; VERDICT round 2 missing #3).
+
+    Match: computeIntensityContribution,
+    Integrators/monteCarloRadiativeTransfer.f95:1419-1611."""
+    n = 1 << 15
+    mus = [1.0, 0.5, 0.5]
+    phis = [0.0, 0.0, 180.0]
+    integ = Integrator.create(
+        make_step_cloud(1.0),
+        config=IntegratorConfig(use_ray_tracing=False, max_events=2000,
+                                compute_volume_absorption=False),
+        intensity_mus=mus, intensity_phis=phis)
+    res = integ.batch_fn(PhotonSource.directional(0.5, 0.0), n)(
+        jax.random.PRNGKey(31))
+    i_fw = np.asarray(res.mean_intensity)
+
+    n_col, n_lay = 32, 32
+    tau = np.where(np.arange(n_col) < 16, 2.0, 18.0)
+    ext = np.broadcast_to((tau / 250.0)[:, None, None],
+                          (n_col, 1, n_lay)).copy()
+    n_o = 4 * n
+    ro = native_mc.trace(ext, np.ones_like(ext), 0.85,
+                         np.linspace(0, 500, n_col + 1), [0, 500.0],
+                         np.linspace(0, 250, n_lay + 1), 0.5, 0.0, n_o,
+                         seed=33, detector_mus=mus, detector_phis=phis)
+    i_or = ro["intensity"].sum(axis=0) / n_o
+    # Per-detector sigma from the oracle's own column scatter (weight sums
+    # are near-Poisson over columns; combine both runs' budgets).
+    for d in range(3):
+        rel = np.sqrt(1.0 / n + 1.0 / n_o)
+        tol = 3.0 * max(float(i_or[d]) * 2.5 * rel, 1e-4)
+        assert float(i_fw[d]) == pytest.approx(float(i_or[d]), abs=tol), (
+            d, i_fw, i_or)
+    assert ro["n_bad"] == 0 and int(res.n_bad) == 0
