@@ -50,11 +50,12 @@ def run_headline(jax, scale, n_runs=3):
     from i3rc_tpu.core.illumination import PhotonSource
     from i3rc_tpu.integrators.config import IntegratorConfig
 
-    # 2^27 photons per dispatch: the persistent-photon refill keeps lane
+    # 2^29 photons per dispatch: the persistent-photon refill keeps lane
     # occupancy high through the bulk of the run; the drain tail (up to
     # max_events after the last launch) amortizes to ~nothing at this size
-    # (measured: 180M photons/s at 2^24 -> 309M at 2^27, same kernel).
-    n_photons = (1 << 27) // scale
+    # (measured round 3: 265M photons/s at 2^24 -> 462M at 2^27 -> 508M at
+    # 2^29, same kernel — collision chaining depth 3).
+    n_photons = (1 << 29) // scale
     integ = _step_cloud_integrator(
         config=IntegratorConfig(use_ray_tracing=False, max_events=500,
                                 compute_volume_absorption=False))
@@ -113,6 +114,57 @@ def run_landsat(jax, scale):
     return n_photons / dt, res
 
 
+def run_landsat_absorbing_radiance(jax, scale):
+    """Landsat ssa=0.99 + 2 detectors: the GENERAL kernel (no fast route —
+    column media exclude detectors), queued local estimation.  The
+    regression row for the big-domain non-fastpath class (VERDICT r2 #10)."""
+    from i3rc_tpu.core.illumination import PhotonSource
+    from i3rc_tpu.integrators.config import IntegratorConfig
+    from i3rc_tpu.integrators.integrator import Integrator
+    from i3rc_tpu.models.landsat_cloud import make_landsat_cloud
+
+    n_photons = (1 << 17) // scale
+    integ = Integrator.create(
+        make_landsat_cloud(0.99),
+        config=IntegratorConfig(use_ray_tracing=False, max_events=500,
+                                compute_volume_absorption=False,
+                                majorant_block_size=16),
+        intensity_mus=[1.0, 0.5], intensity_phis=[0.0, 0.0])
+    fn = integ.batch_fn(PhotonSource.directional(0.5, 0.0), n_photons,
+                        n_lanes=min(1 << 15, n_photons))
+    key = jax.random.key(3, impl="rbg")
+    res = fn(jax.random.fold_in(key, 99))
+    jax.block_until_ready(res.intensity)
+    dt, res = _median_time(fn, [jax.random.fold_in(key, i) for i in range(2)],
+                           lambda r: jax.block_until_ready(r.intensity))
+    return n_photons / dt, res
+
+
+def run_general_radiance(jax, scale):
+    """Step cloud + 3 detectors through the GENERAL kernel (fastpath off):
+    the queued (persistent-ray) local-estimation path every non-default
+    estimator configuration rides."""
+    from __graft_entry__ import _step_cloud_integrator
+    from i3rc_tpu.core.illumination import PhotonSource
+    from i3rc_tpu.integrators.config import IntegratorConfig
+
+    n_photons = (1 << 19) // scale
+    integ = _step_cloud_integrator(
+        config=IntegratorConfig(use_ray_tracing=False, max_events=500,
+                                compute_volume_absorption=False,
+                                use_fastpath=False, majorant_block_size=16))
+    integ = integ.with_params(intensity_mus=[1.0, 0.5, 0.5],
+                              intensity_phis=[0.0, 0.0, 180.0])
+    fn = integ.batch_fn(PhotonSource.directional(0.5, 0.0), n_photons,
+                        n_lanes=min(1 << 16, n_photons))
+    key = jax.random.key(4, impl="rbg")
+    res = fn(jax.random.fold_in(key, 99))
+    jax.block_until_ready(res.intensity)
+    dt, res = _median_time(fn, [jax.random.fold_in(key, i) for i in range(2)],
+                           lambda r: jax.block_until_ready(r.intensity))
+    return n_photons / dt, res
+
+
 def run_spectral(jax, scale):
     """Spectral k-distribution loop (1 band x 2 k) over the step cloud."""
     import numpy as np
@@ -122,7 +174,7 @@ def run_spectral(jax, scale):
     from i3rc_tpu.integrators.config import IntegratorConfig
     from i3rc_tpu.models.step_cloud import make_step_cloud
 
-    n_per_batch = (1 << 19) // scale
+    n_per_batch = (1 << 22) // scale
     n_batches = 2
     dom = make_step_cloud(1.0)
     z = np.asarray(dom.z_edges)
@@ -133,18 +185,22 @@ def run_spectral(jax, scale):
     cfg = IntegratorConfig(use_ray_tracing=False, max_events=500,
                            compute_volume_absorption=False,
                            majorant_block_size=16)
-    # Steady-state spectral loop: the band integrator compiles once and the
-    # k-point optics ride through as arguments (run_batches caching), so the
-    # timed pass measures transport, not tracing.
+    # Steady-state spectral loop with baked per-k fastpath executables
+    # (spectral.run_band(bake_fastpath=True)): each k-point's gas profile
+    # bakes into a gas-channel fastpath compile, cached across band runs in
+    # integrator_cache — the timed pass measures transport, not compiles.
     from i3rc_tpu.integrators.integrator import Integrator
     from i3rc_tpu.integrators.spectral import domain_with_gas_component, run_band
     z0 = np.asarray(dom.z_edges)
     dom_gas = domain_with_gas_component(
         dom, kd[0].absorption_profiles_on(z0)[:, 0])
     integ = Integrator.create(dom_gas, config=cfg)
-    run_band(integ, dom, kd[0], src, n_per_batch, n_batches, seed=5)  # warm
+    cache = {}
+    run_band(integ, dom, kd[0], src, n_per_batch, n_batches, seed=5,
+             bake_fastpath=True, integrator_cache=cache)  # warm + compile
     t0 = time.perf_counter()
-    band = run_band(integ, dom, kd[0], src, n_per_batch, n_batches, seed=6)
+    band = run_band(integ, dom, kd[0], src, n_per_batch, n_batches, seed=6,
+                    bake_fastpath=True, integrator_cache=cache)
     dt = time.perf_counter() - t0
     n_traced = n_per_batch * n_batches * 2  # 2 k-points per band
     return n_traced / dt, band.mean
@@ -242,7 +298,7 @@ def main():
         print(profile_report(args.profile), file=sys.stderr)
     else:
         rate, res, dt = run_headline(jax, scale)
-    n_headline = (1 << 27) // scale
+    n_headline = (1 << 29) // scale
 
     checks_passed = True
     messages = []
@@ -259,6 +315,12 @@ def main():
         l_rate, l_res = run_landsat(jax, scale)
         extras.append({"metric": "photons/sec/chip (Landsat case 4, 1.95M cells, flux)",
                        "value": l_rate, "unit": "photons/s"})
+        la_rate, la_res = run_landsat_absorbing_radiance(jax, scale)
+        extras.append({"metric": "photons/sec/chip (Landsat ssa=0.99 + 2 detectors, general kernel)",
+                       "value": la_rate, "unit": "photons/s"})
+        gr_rate, gr_res = run_general_radiance(jax, scale)
+        extras.append({"metric": "photons/sec/chip (step cloud + 3 detectors, general kernel queued)",
+                       "value": gr_rate, "unit": "photons/s"})
         b_rate, b_res = run_spectral(jax, scale)
         extras.append({"metric": "photons/sec/chip (broadband k-distribution, 2 k-points)",
                        "value": b_rate, "unit": "photons/s"})

@@ -57,18 +57,46 @@ class BandResult:
 
 def run_band(integrator: Integrator, base_domain: Domain, kdist: KDistribution,
              source, n_photons_per_batch, n_batches, seed=10, mesh=None,
-             derive=None, derive_token=None):
-    """All k points of one band through the band integrator's executable."""
+             derive=None, derive_token=None, bake_fastpath=False,
+             integrator_cache: dict | None = None):
+    """All k points of one band through the band integrator's executable.
+
+    ``bake_fastpath=True`` instead builds ONE Integrator per k point, so
+    each k-point's gas profile is baked statically and eligible workloads
+    ride the gas-channel fastpath (Pallas event-block kernel) — ~20x the
+    traced-override throughput (PERF_NOTES.md round 2 "Gas-channel
+    fastpath").  The cost is one compile per distinct k point; pass a
+    long-lived ``integrator_cache`` dict so repeated band runs (production
+    spectral loops, benchmark steady state) reuse the executables.
+    """
     profiles = kdist.absorption_profiles_on(np.asarray(base_domain.z_edges))
     per_k = []
     mean_accum = None
     for k in range(kdist.n_k):
-        dom_k = domain_with_gas_component(base_domain, profiles[:, k])
-        optics_k = device_optics_from_flat(flatten_optics(dom_k),
-                                           integrator.config.majorant_block_size)
-        stats = run_batches(integrator, source, n_photons_per_batch, n_batches,
-                            seed=seed + 1000 * k, mesh=mesh, derive=derive,
-                            derive_token=derive_token, optics_override=optics_k)
+        if bake_fastpath:
+            cache = integrator_cache if integrator_cache is not None else {}
+            ckey = (id(kdist), k, id(base_domain))
+            integ_k = cache.get(ckey)
+            if integ_k is None:
+                dom_k = domain_with_gas_component(base_domain, profiles[:, k])
+                integ_k = Integrator.create(
+                    dom_k, config=integrator.config,
+                    surface_albedo=integrator._surface_albedo,
+                    surface=integrator._surface_arg,
+                    intensity_mus=integrator._intensity_mus,
+                    intensity_phis=integrator._intensity_phis)
+                cache[ckey] = integ_k
+            stats = run_batches(integ_k, source, n_photons_per_batch,
+                                n_batches, seed=seed + 1000 * k, mesh=mesh,
+                                derive=derive, derive_token=derive_token)
+        else:
+            dom_k = domain_with_gas_component(base_domain, profiles[:, k])
+            optics_k = device_optics_from_flat(
+                flatten_optics(dom_k), integrator.config.majorant_block_size)
+            stats = run_batches(integrator, source, n_photons_per_batch,
+                                n_batches, seed=seed + 1000 * k, mesh=mesh,
+                                derive=derive, derive_token=derive_token,
+                                optics_override=optics_k)
         per_k.append(stats)
         w = float(kdist.weights[k])
         tree = stats.mean
@@ -84,7 +112,8 @@ def run_broadband(base_domain: Domain, k_distributions, source,
                   n_photons_per_batch: int, n_batches: int, seed: int = 10,
                   mesh=None, config=None, surface_albedo: float = 0.0,
                   surface=None, intensity_mus=None, intensity_phis=None,
-                  band_domains=None, derive=None, derive_token=None):
+                  band_domains=None, derive=None, derive_token=None,
+                  bake_fastpath=False, integrator_cache: dict | None = None):
     """The broadband driver: spectral loop over bands and k points.
 
     ``band_domains`` optionally supplies a per-band Domain (per-band cloud
@@ -108,7 +137,9 @@ def run_broadband(base_domain: Domain, k_distributions, source,
                                   intensity_phis=intensity_phis)
         band = run_band(integ, dom_b, kdist, source, n_photons_per_batch,
                         n_batches, seed=seed + 100000 * b, mesh=mesh,
-                        derive=derive, derive_token=derive_token)
+                        derive=derive, derive_token=derive_token,
+                        bake_fastpath=bake_fastpath,
+                        integrator_cache=integrator_cache)
         results.append(band)
         contrib = jax.tree.map(lambda a: a * band.spectral_fraction, band.mean)
         broadband = contrib if broadband is None else jax.tree.map(

@@ -85,3 +85,39 @@ def test_broadband_beer_lambert():
     total = float(np.asarray(broadband.flux_down).mean()
                   + np.asarray(broadband.flux_absorbed).mean())
     assert total == pytest.approx(1.0, rel=5e-3)
+
+
+def test_broadband_bake_fastpath_matches_traced():
+    """run_band(bake_fastpath=True): per-k baked fastpath executables give
+    the same band means as the traced-override general-kernel path (the
+    ~20x production spectral-loop mode; PERF_NOTES 'Gas-channel
+    fastpath').  Different RNG streams, so agreement is statistical."""
+    from i3rc_tpu.core.illumination import PhotonSource
+    from i3rc_tpu.integrators.integrator import Integrator
+    from i3rc_tpu.integrators.spectral import (
+        domain_with_gas_component,
+        run_band,
+    )
+    from i3rc_tpu.models.step_cloud import make_step_cloud
+
+    dom = make_step_cloud(1.0)
+    z = np.asarray(dom.z_edges)
+    kd = KDistribution.create(
+        z, np.broadcast_to([[4e-4, 4e-3]], (32, 2)).copy(), [0.7, 0.3],
+        spectral_fraction=1.0)
+    src = PhotonSource.directional(0.5, 0.0)
+    cfg = IntegratorConfig(use_ray_tracing=False, max_events=500,
+                           compute_volume_absorption=False,
+                           majorant_block_size=16)
+    integ = Integrator.create(
+        dom_gas := domain_with_gas_component(
+            dom, kd.absorption_profiles_on(z)[:, 0]), config=cfg)
+    n = 1 << 13
+    cache = {}
+    baked = run_band(integ, dom, kd, src, n, 2, seed=5,
+                     bake_fastpath=True, integrator_cache=cache)
+    traced = run_band(integ, dom, kd, src, n, 2, seed=5)
+    f_b = float(np.asarray(baked.mean.flux_up).mean())
+    f_t = float(np.asarray(traced.mean.flux_up).mean())
+    sigma = float(np.sqrt(2 * 0.4 * 0.6 / (2 * n * 2)))
+    assert f_b == pytest.approx(f_t, abs=4 * sigma)
