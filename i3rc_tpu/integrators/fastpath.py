@@ -471,17 +471,10 @@ def fast_plan(geom, flat, optics, surface, intensity, config) -> FastPlan | None
     else:
         fx, fy, fz = factors
 
-    if config.compute_volume_absorption:
-        # Conservative media absorb nothing (the profile is identically
-        # zero — allowed for free).  Absorbing/gas runs tally kind-3
-        # deaths per fine cell at flush time: needs a feasible cell-keyed
-        # one-hot, so column media and very large grids keep the general
-        # kernel.
-        if uniform_ssa < 1.0 or gas_factor is not None:
-            if column_data is not None:
-                return None
-            if geom.n_x * geom.n_y * geom.n_z > (1 << 18):
-                return None
+    # Volume absorption (heating rates) no longer restricts eligibility:
+    # kind-3 deaths tally per fine cell at flush time — one-hot for grids
+    # up to 2^18 cells, XLA scatter-add beyond (column media included);
+    # conservative media absorb nothing and the profile is identically 0.
 
     detectors = ()
     shadow_steps = 0
@@ -1187,8 +1180,21 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
         if vol_tally:
             iz = jnp.clip(((z - z0) * inv_dz_cell).astype(jnp.int32),
                           0, n_z - 1)
-            vol = tally_multi(vol, col * n_z + iz,
-                              (pk == 3).astype(jnp.float32)[:, None])
+            if n_cols * n_z <= (1 << 18):
+                vol = tally_multi(vol, col * n_z + iz,
+                                  (pk == 3).astype(jnp.float32)[:, None])
+            else:
+                # Big grids (e.g. Landsat 1.95M cells): XLA scatter-add at
+                # flush time — ~1 ms per 2^17 lanes, amortized over the
+                # K-event block (vs ~0.7 ms/event for the column read, so
+                # heating-rate output costs ~+15% instead of forcing the
+                # general kernel).
+                from i3rc_tpu.ops.tally import tally_scatter
+
+                vol = tally_scatter(
+                    vol[:, 0], jnp.where(pk == 3, col * n_z + iz,
+                                         n_cols * n_z),
+                    (pk == 3).astype(jnp.float32))[:, None]
         return tally_multi(columns, col, vals), vol, jnp.zeros_like(pk)
 
     def trace(key, batch, source=None, optics_override=None):
@@ -1291,12 +1297,14 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
                     zs = jnp.where(hit_bot, z0 + nudge_z, z)
                     pos_ys = y if track_y else None
                     for d in range(D):
-                        # Every detector direction, matching the reference
-                        # (computeIntensityContribution is called for ALL
-                        # directions after a surface reflection,
-                        # monteCarloRadiativeTransfer.f95:1465-1480; a
-                        # downward detector's trace exits the bottom
-                        # immediately) and the general kernel.
+                        if plan.detectors[d][2] <= 0.0:
+                            # Lambertian reflection emits upward only; the
+                            # general kernel agrees operationally (its trace
+                            # from the boundary in a downward direction is a
+                            # zero-step trace, dropped as BAD — matching the
+                            # reference's non-positive-step guard,
+                            # monteCarloRadiativeTransfer.f95:1711-1714).
+                            continue
                         tau_d, col_d, okd = shadow_trace(d, revive, x,
                                                          pos_ys, zs)
                         contrib = jnp.where(
@@ -1373,13 +1381,14 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
         st = (alive, x, y, z, ux, uy, uz, jnp.zeros(L, jnp.float32),
               zeros_i, zeros_i, zeros_i, zeros_i, acc_int0)
         if gas_mode:
-            # Negative sentinel key, disjoint from the positive event keys
-            # fold_in(key, kb*K + j) AND the refill keys -kb-1 / gas-refill
-            # -kb-1-(1<<24) / surface-revive -kb-1-(1<<25) (kb < max_blocks
-            # << 2^24): the launch gas thresholds must not reuse any event
-            # block's transport stream.
+            # Sentinel key 0xB0000000, disjoint (as uint32) from the
+            # positive event keys fold_in(key, kb*K + j) (< ~2^26) AND the
+            # wrapped negative refill keys -kb-1 / gas-refill -kb-1-(1<<24)
+            # / surface-revive -kb-1-(1<<25) (all >= 2^32 - 2^26): the
+            # launch gas thresholds must not reuse any event block's
+            # transport stream.
             tgas0 = exponential_deviate(jax.random.uniform(
-                jax.random.fold_in(key, -(1 << 30)), (L,), dtype=jnp.float32))
+                jax.random.fold_in(key, 0xB0000000), (L,), dtype=jnp.float32))
             st = st + (tgas0,)
         kb, launched, st, columns, vol, srf_acc = jax.lax.while_loop(
             cond, body, (jnp.int32(0), launched, st, columns, vol, srf0))

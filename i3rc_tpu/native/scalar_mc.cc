@@ -339,15 +339,19 @@ int64_t trace_photons_full(
             const double ph = 2.0 * M_PI * rng.uniform();
             ux = st * std::cos(ph); uy = st * std::sin(ph); uz = mu;
             z = z0 + eps;
-            // Surface contribution w/pi per detector, post-reflection
-            // weight, every direction (:1465-1480, :1509).
+            // Surface contribution w/pi per UPWARD detector (Lambertian
+            // reflection emits into the upper hemisphere only; the
+            // framework kernels agree — a downward trace from the
+            // boundary is a zero-step trace, dropped, matching the
+            // reference's non-positive-step guard :1711-1714).
             for (int d = 0; d < n_det; ++d) {
               const double* dd = det_dirs + 3 * d;
+              if (dd[2] <= 0.0) continue;
               bool ok2 = false, otop = false;
               int64_t ecol = 0;
               const double t = path_tau(gr, x, y, z, dd[0], dd[1], dd[2],
                                         eps, &ok2, &ecol, &otop);
-              if (ok2 && (otop == (dd[2] > 0.0)))
+              if (ok2 && otop)
                 intensity[ecol * n_det + d] += w / M_PI * std::exp(-t);
             }
             break;  // fresh free path from the surface

@@ -119,9 +119,12 @@ def test_reflecting_surface_on_fastpath():
 def test_reflecting_surface_radiance():
     """Surface contributions to radiance detectors (component slot 0):
     Lambertian emission is direction-independent and upward-only — the
-    transparent domain gives exactly A/pi up and 0 down; the step cloud
-    cross-checks against the general kernel including the by-component
-    split."""
+    transparent domain gives exactly A/pi up and 0 down (the general
+    kernel's trace from the boundary in a downward direction is a
+    zero-step trace, dropped per the reference's non-positive-step guard
+    :1711-1714, and physically a Lambertian reflects upward only); the
+    step cloud cross-checks against the general kernel including the
+    by-component split."""
     from i3rc_tpu.core.optics import Domain
     from i3rc_tpu.core.phase_functions import (
         PhaseFunction, PhaseFunctionTable, henyey_greenstein_coefficients)
@@ -604,3 +607,54 @@ def test_pallas_event_block_matches_xla_fastpath():
     # Conservative cloud over a black surface: energy closes exactly.
     assert float(rp.mean_flux_up + rp.mean_flux_down) == pytest.approx(1.0, abs=1e-5)
     assert int(rp.n_bad) == 0
+
+
+def test_column_volume_absorption_matches_general():
+    """Volume absorption (heating rates) on COLUMN media: kind-3 deaths
+    scatter into the per-cell grid at flush time, so absorbing column
+    scenes (Landsat ssa<1 + heating-rate output) elect the fastpath
+    instead of falling to the general kernel (round-2 gap)."""
+    from i3rc_tpu.core.optics import Domain
+    from i3rc_tpu.core.phase_functions import (
+        PhaseFunction,
+        PhaseFunctionTable,
+        henyey_greenstein_coefficients,
+    )
+    from i3rc_tpu.integrators.integrator import Integrator
+
+    rng = np.random.default_rng(11)
+    nx = ny = 8
+    nz = 8
+    v = rng.uniform(0.01, 0.05, (nx, ny))
+    ntop = rng.integers(2, nz + 1, (nx, ny))
+    ext = np.zeros((nx, ny, nz))
+    for i in range(nx):
+        for j in range(ny):
+            ext[i, j, :ntop[i, j]] = v[i, j]
+    table = PhaseFunctionTable.from_phase_functions(
+        [PhaseFunction.from_legendre(henyey_greenstein_coefficients(0.85, 32))],
+        key=[1.0])
+    dom = Domain.create(np.linspace(0, 240, nx + 1), np.linspace(0, 240, ny + 1),
+                        np.linspace(0, 120, nz + 1))
+    dom = dom.add_component("c", ext, np.full_like(ext, 0.95),
+                            np.zeros(ext.shape, np.int32), table)
+    src = PhotonSource.directional(0.5, 0.0)
+    n = 1 << 15
+    fast = Integrator.create(dom, config=IntegratorConfig(
+        use_ray_tracing=False, max_events=500))
+    plan = fast_plan(fast.geometry, fast._flat, fast.optics, fast.surface,
+                     fast.intensity, fast.config)
+    assert plan is not None and plan.column_data is not None
+    gen = Integrator.create(dom, config=IntegratorConfig(
+        use_ray_tracing=False, max_events=500,
+        use_fastpath=False, majorant_block_size=4))
+    rf = fast.batch_fn(src, n)(jax.random.PRNGKey(2))
+    rg = gen.batch_fn(src, n)(jax.random.PRNGKey(3))
+    sigma = float(np.sqrt(2 * 0.1 * 0.9 / n))
+    assert float(rf.mean_flux_absorbed) == pytest.approx(
+        float(rg.mean_flux_absorbed), abs=4 * sigma)
+    # The layer-resolved profile agrees too (coarser per-layer statistics).
+    pf_ = np.asarray(rf.absorbed_profile)
+    pg_ = np.asarray(rg.absorbed_profile)
+    np.testing.assert_allclose(pf_, pg_, atol=6 * sigma * np.sqrt(nz))
+    assert int(rf.n_bad) == 0
