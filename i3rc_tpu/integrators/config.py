@@ -111,9 +111,13 @@ class IntegratorConfig:
     # gathers), and the stall cost is bounded by intensity_ray_steps.
     # Identical expectation to the inline estimator; applies to the
     # deterministic and Iwabuchi estimators (ratio tracking keeps its own
-    # inline path).
+    # inline path).  intensity_ray_steps = crossings advanced per transport
+    # event; 0 = auto ((nx+ny+nz)/2 clamped to [8, 64] — the ray service
+    # rate must cover a typical boundary trace per collision interval, or
+    # photons stall waiting for their slots; a too-small value measured
+    # 10x slower than inline on the step cloud).
     use_queued_intensity: bool = True
-    intensity_ray_steps: int = 6
+    intensity_ray_steps: int = 0
     # Pallas (Mosaic) event-block kernel for the fastpath: runs K = unroll
     # events per HBM round-trip with the whole wavefront state VMEM-resident
     # (ops-level analog of the XLA fastpath; same physics, different RNG

@@ -298,11 +298,23 @@ def make_batch_tracer(geom: GridGeometry, optics: DeviceOptics, tables: DeviceTa
     # Queued (persistent-ray) local estimation — see IntegratorConfig.
     # Ratio tracking keeps its inline estimator (its rounds are already
     # bounded by the majorant optical depth, not the cell count).
+    # Queued estimation needs the fused one-hot read path: its bounded-M
+    # ray advance reads a cell per slot per step whether or not the slot
+    # is tracing, and on serial-gather domains (> ONEHOT_MAX_ROWS cells,
+    # ~8 ns/lane regardless of masking) that multiplies the dominant cost
+    # by M — the run-to-completion inline estimator is strictly cheaper
+    # there.
     use_queued = (compute_intensity
                   and config.use_queued_intensity
+                  and optics.use_onehot
                   and not (config.use_ratio_tracking_for_intensity
                            and coarse_geom is not None))
-    ray_steps = max(1, int(config.intensity_ray_steps))
+    ray_steps = int(config.intensity_ray_steps)
+    if ray_steps <= 0:
+        # Auto: a typical boundary trace crosses ~(nx-wraps + nz) cells;
+        # serving that within a couple of transport events keeps lanes
+        # from stalling on busy ray slots (see IntegratorConfig).
+        ray_steps = min(64, max(8, (n_x + n_y + n_z) // 2))
     if use_queued:
         LD = L * n_dirs
         _dirs = intensity.directions  # (3, D)

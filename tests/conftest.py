@@ -42,6 +42,8 @@ SLOW_TESTS = [
     "test_fastpath.py::test_tabulated_phase_on_fastpath",
     "test_fastpath.py::test_gas_channel_eligibility_and_closure",
     "test_fastpath.py::test_fastpath_refill_budget_exact",
+    "test_fastpath.py::test_multi_entry_column_props_matches_general_kernel",
+    "test_fastpath.py::test_column_volume_absorption_matches_general",
     "test_integrator.py::test_wavefront_matches_scalar_oracle_step_cloud",
     "test_integrator.py::test_single_scattering_radiance",
     "test_integrator.py::test_conservative_energy_closure",

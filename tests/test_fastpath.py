@@ -658,3 +658,40 @@ def test_column_volume_absorption_matches_general():
     pg_ = np.asarray(rg.absorbed_profile)
     np.testing.assert_allclose(pf_, pg_, atol=6 * sigma * np.sqrt(nz))
     assert int(rf.n_bad) == 0
+
+
+def test_multi_entry_column_props_eligibility():
+    """Quick-tier guard: per-column ssa + multi-entry tables produce a
+    column_props plan with the widened read and flattened cubic (the full
+    statistical cross-check runs in the slow tier)."""
+    from i3rc_tpu.core.optics import Domain
+    from i3rc_tpu.core.phase_functions import (
+        PhaseFunction,
+        PhaseFunctionTable,
+        henyey_greenstein_coefficients,
+    )
+    from i3rc_tpu.integrators.integrator import Integrator
+
+    nx = ny = 4
+    nz = 4
+    ext = np.zeros((nx, ny, nz))
+    ssa = np.zeros((nx, ny, nz))
+    pfi = np.zeros((nx, ny, nz), np.int32)
+    ext[:, :, :2] = 0.02
+    ssa[:, :, :2] = 0.97
+    pfi[1, 1, :2] = 1
+    table = PhaseFunctionTable.from_phase_functions(
+        [PhaseFunction.from_legendre(henyey_greenstein_coefficients(g, 16))
+         for g in (0.5, 0.8)], key=[2.0, 8.0])
+    dom = Domain.create(np.linspace(0, 120, nx + 1), np.linspace(0, 120, ny + 1),
+                        np.linspace(0, 60, nz + 1))
+    dom = dom.add_component("mie", ext, ssa, pfi, table)
+    integ = Integrator.create(dom, config=IntegratorConfig(
+        use_ray_tracing=False, compute_volume_absorption=False))
+    plan = _plan(integ)
+    assert plan is not None and plan.column_props
+    assert plan.column_data.shape == (nx * ny, 5)
+    assert plan.cubic_entries == 2
+    assert plan.ssa == pytest.approx(0.97)
+    # pf index 1 recorded for the (1, 1) column
+    assert plan.column_data[1 * ny + 1, 4] == 1.0

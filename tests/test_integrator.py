@@ -82,7 +82,7 @@ def test_refill_closure_general_kernel():
     photons, which is what most tests use.
     """
     dom = slab_domain(3.0, ssa=1.0)
-    n, lanes = 1 << 14, 1 << 12
+    n, lanes = 1 << 13, 1 << 11
     for kwargs in ({}, {"intensity_mus": [0.5, -0.5],
                         "intensity_phis": [0.0, 0.0]}):
         integ = Integrator.create(
