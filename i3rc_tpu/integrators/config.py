@@ -58,7 +58,11 @@ class IntegratorConfig:
     # sampled against per-block maxima instead of the reference's single
     # global maximum cross-section (:439), removing null collisions in
     # optically thin regions.  Value = block edge length in cells (must
-    # divide each grid dimension, clamped per-axis); 0 = reference behavior.
+    # divide each grid dimension, clamped per-axis); 0 = auto: reference
+    # behavior (one global majorant) on one-hot-read domains, 8 on
+    # serial-gather domains (> ops/gather.ONEHOT_MAX_ROWS cells), where a
+    # global majorant makes null-collision events — each paying a ~35 ns/lane
+    # serialized read — dominate (see Integrator.create).
     # Unbiased: identical expectation, different (better) event count.
     majorant_block_size: int = 0
     # Unbiased stochastic transmittance for local-estimate radiances (ratio
@@ -118,6 +122,24 @@ class IntegratorConfig:
     # 10x slower than inline on the step cloud).
     use_queued_intensity: bool = True
     intensity_ray_steps: int = 0
+    # Chained Woodcock cycles per event-loop iteration in the GENERAL
+    # kernel (large-domain flux workloads): each iteration resolves up to
+    # this many tentative collisions per lane, amortizing the per-iteration
+    # fixed costs (column tally matmul, RNG block, refill, loop plumbing)
+    # that dominate once the per-cell read is a single serialized gather.
+    # Exits pend in per-lane registers and tally once per iteration (a lane
+    # exits at most once per iteration — it only refills at iteration
+    # start), so eligibility requires the class where transport neither
+    # deposits nor revives: flux-only, black surface, conservative
+    # single-component uniform optics, super-voxel majorants on.  0 = auto
+    # (6 on serial-gather domains, off on one-hot domains); 1 = off.
+    general_chain: int = 0
+    # Coarse-DDA crossings advanced per chained cycle (the flight resumes
+    # next cycle if unfinished — remaining optical depth is carried, exact).
+    # Replaces the lockstep while_loop that runs every lane to the WORST
+    # lane's crossing count (measured 19.4 avg iterations/event on Landsat
+    # where the mean flight needs ~4).  0 = auto (8).
+    general_dda_steps: int = 0
     # Pallas (Mosaic) event-block kernel for the fastpath: runs K = unroll
     # events per HBM round-trip with the whole wavefront state VMEM-resident
     # (ops-level analog of the XLA fastpath; same physics, different RNG
@@ -151,6 +173,12 @@ class IntegratorConfig:
         if cfg.min_inverse_table_size < DEFAULT_MIN_INVERSE_TABLE_SIZE:
             s.warnings.append("minInverseTableSize less than default; value ignored")
             cfg = replace(cfg, min_inverse_table_size=DEFAULT_MIN_INVERSE_TABLE_SIZE)
+        if cfg.general_chain < 0:
+            s.warnings.append("general_chain must be >= 0; using auto")
+            cfg = replace(cfg, general_chain=0)
+        if cfg.general_dda_steps < 0:
+            s.warnings.append("general_dda_steps must be >= 0; using auto")
+            cfg = replace(cfg, general_dda_steps=0)
         if cfg.use_ratio_tracking_for_intensity and cfg.majorant_block_size <= 0:
             s.warnings.append("ratio tracking needs majorant_block_size > 0; "
                               "falling back to the deterministic trace")

@@ -170,6 +170,40 @@ class Integrator:
         geom = GridGeometry.from_edges(domain.x_edges, domain.y_edges, domain.z_edges,
                                        domain.xy_regularly_spaced, domain.z_regularly_spaced)
 
+        # Serial-gather domains (> ONEHOT_MAX_ROWS cells) default to
+        # super-voxel Woodcock transport: with a single global majorant a
+        # heterogeneous 1.95M-cell scene spends nearly all its events on
+        # null collisions, and each event pays a ~35 ns/lane serialized
+        # read (benchmarks/gather_probe.py).  Block majorants are exact in
+        # expectation (same estimator, fewer tentative collisions); an
+        # explicit majorant_block_size always wins.
+        from i3rc_tpu.ops.gather import ONEHOT_MAX_ROWS
+        if config.majorant_block_size == 0 and flat.total_ext.size > ONEHOT_MAX_ROWS:
+            # blk=8 measured best on Landsat (1.57M vs 1.35M ph/s at blk=16;
+            # blk=4 loses to coarse-DDA crossing count — benchmarks sweep).
+            config = replace(config, majorant_block_size=8)
+        if (intensity_mus is not None
+                and flat.total_ext.size > ONEHOT_MAX_ROWS
+                and config.majorant_block_size > 0
+                and not config.use_ratio_tracking_for_intensity
+                and not config.use_russian_roulette_for_intensity):
+            # Local estimation on serial-gather domains: the deterministic
+            # cell-by-cell trace pays a serialized gather per crossing per
+            # (lane, detector) pseudo-lane — measured 3.1e3 photons/s on the
+            # Landsat + 2-detector case.  Ratio tracking bounds the cost at
+            # O(majorant optical depth) per contribution; unbiased, same
+            # expectation, extra variance.  Explicit estimator choices
+            # (Iwabuchi roulette, or ratio tracking itself) are respected.
+            import warnings as _warnings
+
+            from i3rc_tpu.utils.errors import I3RCWarning
+            _warnings.warn(
+                "large domain with radiance detectors: enabling ratio-"
+                "tracking transmittance (unbiased; set "
+                "use_russian_roulette_for_intensity for the Iwabuchi "
+                "estimator instead)", I3RCWarning, stacklevel=2)
+            config = replace(config, use_ratio_tracking_for_intensity=True)
+
         # Device optics: per-cell quantities packed as columns of one matrix
         # so the kernel fetches everything with a single fused one-hot matmul
         # (see wavefront.py docstring); flat copies back the serial fallback.

@@ -261,6 +261,198 @@ def _table_lookup(flat_table, row_base, position, n_steps):
     return (1.0 - frac) * a0 + frac * a1
 
 
+def make_chained_flux_tracer(geom: GridGeometry, optics: DeviceOptics,
+                             tables: DeviceTables, config, n_photons: int,
+                             n_lanes: int | None,
+                             coarse_geom: GridGeometry,
+                             chain: int, dda_steps: int):
+    """Large-domain flux kernel: C Woodcock cycles per event-loop iteration.
+
+    The general event loop pays three per-iteration fixed costs that dwarf
+    the physics once the per-cell read is a single serialized gather
+    (measured on the 1.95M-cell Landsat scene, 2^17 lanes, v5e): the
+    column tally chain (~0.8 ms), the coarse-DDA while_loop that runs every
+    lane to the WORST lane's crossing count (19.4 avg lockstep iterations
+    where the mean flight needs ~4, ~0.64 ms), and the RNG/refill/loop
+    plumbing.  This tracer restructures the iteration for the workload
+    class where transport neither deposits nor revives weight (flux-only,
+    black surface, conservative uniform single-component optics):
+
+      * ``chain`` tentative collisions resolve per iteration — each cycle
+        advances the coarse DDA a FIXED ``dda_steps`` crossings (unrolled,
+        no while_loop; unfinished flights carry their remaining optical
+        depth to the next cycle, exact because the remaining target is
+        deterministic), then one gather + Woodcock accept + rotation.
+      * Weight is identically 1 (no absorption, no surface, no roulette),
+        so exits are pure counts: a lane records (column, kind) in
+        registers — it can exit at most once per iteration since refill
+        happens only at iteration start — and ONE column tally matmul per
+        iteration commits up to C cycles' worth of exits.
+
+    Physics matched: the maximum-cross-section loop of
+    monteCarloRadiativeTransfer.f95:400-707 with per-block majorants;
+    expectations identical to the general kernel (cross-checked in
+    tests/test_serial_path.py), different RNG event stream.
+    """
+    n_x, n_y, n_z = geom.n_x, geom.n_y, geom.n_z
+    L = int(n_lanes or min(n_photons, 1 << 20))
+    max_iters = config.max_events * (n_photons // L + 2)
+    inv_cap = jnp.float32(1e-30)
+
+    def trace(key, batch, source=None, optics_override=None):
+        opt = optics if optics_override is None else optics_override
+        assert (opt.n_components == 1 and opt.uniform_ssa == 1.0
+                and opt.uniform_phase_index is not None), (
+            "chained flux tracer requires conservative uniform optics")
+        s_seg = tables.n_segments
+        pf_row0 = opt.uniform_phase_index * s_seg
+
+        x = geom.x0 + batch.x * (geom.x_max - geom.x0)
+        y = geom.y0 + batch.y * (geom.y_max - geom.y0)
+        z = geom.z0 + batch.z * (geom.z_max - geom.z0)
+        ux, uy, uz = make_direction_cosines(batch.mu, batch.phi)
+        order = jnp.zeros(L, jnp.int32)
+        lane_ids = jnp.arange(L, dtype=jnp.int32)
+        alive = lane_ids < n_photons
+        launched = jnp.int32(min(L, n_photons))
+        in_flight = jnp.zeros(L, bool)
+        tau_rem = jnp.zeros(L, jnp.float32)
+        zeros_i = jnp.zeros(L, jnp.int32)
+        tallies = {
+            "columns": jnp.zeros((n_x * n_y, 2), jnp.float32),
+            "n_bad": jnp.zeros((), jnp.int32),
+            "n_lane_events": jnp.zeros((), jnp.float32),
+        }
+
+        def body(carry):
+            k, (alive, launched, x, y, z, ux, uy, uz, order, in_flight,
+                tau_rem, bix, biy, biz, tallies) = carry
+            opt_ = opt
+            ek = jax.random.fold_in(key, k)
+            ks = jax.random.split(ek, 2)
+            u = jax.random.uniform(ks[0], (chain, 4, L), dtype=jnp.float32)
+
+            # --- refill dead lanes (iteration start only) -------------------
+            if n_photons > L:
+                dead = ~alive
+                dead_i = dead.astype(jnp.int32)
+                new_id = launched + jnp.cumsum(dead_i) - dead_i
+                refill = dead & (new_id < n_photons)
+                fresh = source.sample(ks[1], L)
+                x = jnp.where(refill, geom.x0 + fresh.x * (geom.x_max - geom.x0), x)
+                y = jnp.where(refill, geom.y0 + fresh.y * (geom.y_max - geom.y0), y)
+                z = jnp.where(refill, geom.z0 + fresh.z * (geom.z_max - geom.z0), z)
+                fux, fuy, fuz = make_direction_cosines(fresh.mu, fresh.phi)
+                ux = jnp.where(refill, fux, ux)
+                uy = jnp.where(refill, fuy, uy)
+                uz = jnp.where(refill, fuz, uz)
+                order = jnp.where(refill, 0, order)
+                in_flight = in_flight & ~refill
+                launched = launched + jnp.sum(refill.astype(jnp.int32))
+                alive = alive | refill
+
+            exit_col = zeros_i
+            exit_kind = zeros_i      # 0 none, 1 top, 2 bottom
+            n_bad = tallies["n_bad"]
+            n_ev = tallies["n_lane_events"]
+
+            for c in range(chain):
+                u_tau, u_accept, u_scat, u_chi = (u[c, 0], u[c, 1], u[c, 2],
+                                                  u[c, 3])
+                start_new = alive & ~in_flight
+                tau_t = jnp.where(start_new, exponential_deviate(u_tau), tau_rem)
+                bix = jnp.where(start_new, coarse_geom.locate_x(x), bix)
+                biy = jnp.where(start_new, coarse_geom.locate_y(y), biy)
+                biz = jnp.where(start_new, coarse_geom.locate_z(z), biz)
+                step = make_crossing_stepper(
+                    coarse_geom, opt_.block_majorant, ux, uy, uz,
+                    cell_matrix=opt_.block_majorant[:, None])
+                st = (x, y, z, bix, biy, biz, jnp.zeros(L, jnp.float32),
+                      jnp.full(L, TRACING, jnp.int32))
+                for _ in range(dda_steps):
+                    st = step(st, tau_t, alive)
+                x, y, z, bix, biy, biz, tau_acc, status = st
+
+                still = alive & (status == TRACING)
+                tentative = alive & (status == SCATTER)
+                ex_top = alive & (status == EXIT_TOP)
+                ex_bot = alive & (status == EXIT_BOT)
+                badlane = alive & (status == BAD)
+                in_flight = still
+                tau_rem = jnp.where(still, tau_t - tau_acc, 0.0)
+
+                # --- Woodcock accept at the tentative point -----------------
+                fix = geom.locate_x(x)
+                fiy = geom.locate_y(y)
+                fiz = geom.locate_z(z)
+                flat_cell = (fix * n_y + fiy) * n_z + fiz
+                if optics.use_onehot:
+                    cell_ext = read_rows(opt_.cell_matrix[:, :1], flat_cell)[:, 0]
+                else:
+                    cell_ext = opt_.total_ext[flat_cell]
+                block_flat = (bix * coarse_geom.n_y + biy) * coarse_geom.n_z + biz
+                maj = read_rows(opt_.block_majorant[:, None], block_flat)[:, 0]
+                physical = tentative & (u_accept < cell_ext / jnp.maximum(maj, inv_cap))
+
+                # --- scattering: inverse-CDF cubic sample + rotation --------
+                pos = jnp.clip(u_scat, 0.0, 1.0) * s_seg
+                seg = jnp.clip(pos.astype(jnp.int32), 0, s_seg - 1)
+                t = pos - seg.astype(pos.dtype)
+                cc = read_rows(tables.inverse_cubic, pf_row0 + seg)
+                mu_s = jnp.clip(((cc[:, 3] * t + cc[:, 2]) * t + cc[:, 1]) * t
+                                + cc[:, 0], -1.0, 1.0)
+                nux, nuy, nuz = rotate_direction(ux, uy, uz, mu_s, u_chi)
+                ux = jnp.where(physical, nux, ux)
+                uy = jnp.where(physical, nuy, uy)
+                uz = jnp.where(physical, nuz, uz)
+                order_next = order + physical.astype(jnp.int32)
+                over = physical & (order_next >= config.max_events)
+                order = order_next
+
+                # --- exits: pend in registers (<= one per lane/iteration) ---
+                col = fix * n_y + fiy
+                hit = ex_top | ex_bot
+                exit_col = jnp.where(hit, col, exit_col)
+                exit_kind = jnp.where(ex_top, 1, jnp.where(ex_bot, 2, exit_kind))
+                badlane = badlane | over
+                n_bad = n_bad + jnp.sum(badlane).astype(jnp.int32)
+                n_ev = n_ev + jnp.sum((tentative | hit).astype(jnp.float32))
+                alive = alive & ~(hit | badlane)
+
+            vals = jnp.stack([(exit_kind == 1).astype(jnp.float32),
+                              (exit_kind == 2).astype(jnp.float32)], axis=1)
+            tallies = dict(tallies)
+            tallies["columns"] = tally_multi(tallies["columns"], exit_col, vals)
+            tallies["n_bad"] = n_bad
+            tallies["n_lane_events"] = n_ev
+            return k + 1, (alive, launched, x, y, z, ux, uy, uz, order,
+                           in_flight, tau_rem, bix, biy, biz, tallies)
+
+        def cond(carry):
+            k, state = carry
+            return (jnp.any(state[0]) | (state[1] < n_photons)) & (k < max_iters)
+
+        state0 = (alive, launched, x, y, z, ux, uy, uz, order, in_flight,
+                  tau_rem, zeros_i, zeros_i, zeros_i, tallies)
+        k_final, state = jax.lax.while_loop(cond, body, (jnp.int32(0), state0))
+        tallies = state[-1]
+        n_bad = tallies["n_bad"] + jnp.sum(state[0]).astype(jnp.int32)
+        zero_cols = jnp.zeros(n_x * n_y, jnp.float32)
+        return RawTallies(
+            flux_up=tallies["columns"][:, 0],
+            flux_down=tallies["columns"][:, 1],
+            flux_absorbed=zero_cols,
+            volume_absorption=jnp.zeros(n_x * n_y * n_z, jnp.float32),
+            intensity=jnp.zeros(0, jnp.float32),
+            intensity_by_component=jnp.zeros(0, jnp.float32),
+            intensity_excess=jnp.zeros(0, jnp.float32),
+            n_photons=jnp.int32(n_photons), n_bad=n_bad,
+            n_iterations=k_final,
+            n_lane_events=tallies["n_lane_events"])
+
+    return trace
+
+
 def make_batch_tracer(geom: GridGeometry, optics: DeviceOptics, tables: DeviceTables,
                       surface: SurfaceSpec, intensity: IntensitySpec | None,
                       config, n_photons: int, n_lanes: int | None = None,
@@ -292,9 +484,24 @@ def make_batch_tracer(geom: GridGeometry, optics: DeviceOptics, tables: DeviceTa
     if coarse_geom is not None:
         max_block_crossings = max(64, 4 * (coarse_geom.n_x + coarse_geom.n_y
                                            + coarse_geom.n_z))
-    comp_offsets = jnp.arange(n_comp, dtype=jnp.int32)
+    # Chained-cycle flux specialization (see make_chained_flux_tracer):
+    # auto-on for serial-gather domains, where the per-iteration fixed costs
+    # it amortizes dominate; an explicit general_chain wins either way.
+    chain = int(config.general_chain) or (6 if not optics.use_onehot else 1)
+    if (chain > 1 and not use_rt and use_woodcock and not compute_intensity
+            and black_surface and optics.n_components == 1
+            and optics.uniform_ssa == 1.0
+            and optics.uniform_phase_index is not None
+            and not config.compute_volume_absorption):
+        return make_chained_flux_tracer(
+            geom, optics, tables, config, n_photons, n_lanes, coarse_geom,
+            chain, int(config.general_dda_steps) or 8)
     L = int(n_lanes or min(n_photons, 1 << 20))
     n_cells = optics.n_cells
+    # Column-keyed tallies ride the one-hot transpose-matmul whenever the
+    # COLUMN count allows it, even when the cell count forces serial-gather
+    # reads (Landsat: 1.95M cells but only 16,384 columns).
+    col_onehot = (n_x * n_y) <= ONEHOT_MAX_ROWS
     # Queued (persistent-ray) local estimation — see IntegratorConfig.
     # Ratio tracking keeps its inline estimator (its rounds are already
     # bounded by the majorant optical depth, not the cell count).
@@ -343,13 +550,13 @@ def make_batch_tracer(geom: GridGeometry, optics: DeviceOptics, tables: DeviceTa
         """
         if optics.use_onehot:
             return read_rows(opt.cell_matrix, flat_cell)
-        base = flat_cell * n_comp
-        cols = [opt.total_ext[flat_cell]]
-        cum = opt.cumulative_ext[base[:, None] + comp_offsets[None, :]]
-        coalb = 1.0 - opt.ssa[base[:, None] + comp_offsets[None, :]]
-        pfi = opt.phase_index[base[:, None] + comp_offsets[None, :]]
-        return jnp.concatenate([cols[0][:, None], cum, coalb,
-                                pfi.astype(jnp.float32)], axis=1)
+        # Serial-gather domains: ONE packed-row gather.  Measured on v5e
+        # (benchmarks/gather_probe.py): XLA's serialized gather costs
+        # ~35 ns/lane per OP at 2^17 lanes *independent of row width* —
+        # an (R, 8) float32 row costs the same as a single int8 column —
+        # so fetching the packed cell matrix in one gather beats the
+        # former four indexed reads ~4x.
+        return opt.cell_matrix[flat_cell]
 
     def sample_cos_scat(comp, pf_idx, u):
         """Scattering-angle cosine from the piecewise-cubic inverse CDF."""
@@ -713,7 +920,7 @@ def make_batch_tracer(geom: GridGeometry, optics: DeviceOptics, tables: DeviceTa
         # pytree, so spectral overrides recompile as needed): uniform ssa and
         # phase table shrink the fused read to the extinction column and
         # delete the component pick; ssa == 1 also drops the absorbed tally.
-        uniform1 = (opt.n_components == 1 and optics.use_onehot
+        uniform1 = (opt.n_components == 1
                     and opt.uniform_ssa is not None
                     and opt.uniform_phase_index is not None)
         conservative = uniform1 and opt.uniform_ssa == 1.0
@@ -833,7 +1040,11 @@ def make_batch_tracer(geom: GridGeometry, optics: DeviceOptics, tables: DeviceTa
 
         # --- one fused read of all per-cell optics --------------------------
         if uniform1:
-            cell_ext = read_rows(opt.cell_matrix[:, :1], flat_cell)[:, 0]
+            if optics.use_onehot:
+                cell_ext = read_rows(opt.cell_matrix[:, :1], flat_cell)[:, 0]
+            else:
+                # 1-D gather of the flat extinction (no (R, 1) slice copy).
+                cell_ext = opt.total_ext[flat_cell]
         else:
             cell = read_cell_data(opt, flat_cell)      # (L, 1 + 3*ncomp)
             cell_ext = cell[:, 0]
@@ -897,7 +1108,7 @@ def make_batch_tracer(geom: GridGeometry, optics: DeviceOptics, tables: DeviceTa
                 jnp.where(physical, absorbed, 0.0),
             ], axis=1)
             tallies["cells"] = tally_multi(tallies["cells"], flat_cell, tally_vals)
-        elif optics.use_onehot:
+        elif col_onehot:
             tally_cols = [jnp.where(exit_top, w, 0.0),
                           jnp.where(exit_bot, w, 0.0)]
             if not conservative:     # ssa == 1 -> absorbed is identically 0
@@ -905,6 +1116,11 @@ def make_batch_tracer(geom: GridGeometry, optics: DeviceOptics, tables: DeviceTa
             col = rix * n_y + riy
             tallies["columns"] = tally_multi(tallies["columns"], col,
                                              jnp.stack(tally_cols, axis=1))
+            if config.compute_volume_absorption and not optics.use_onehot:
+                # Per-cell absorption on a serial-gather domain: the cell
+                # key space is too tall for the one-hot, scatter-add it.
+                tallies["volume_absorption"] = tally_add(
+                    tallies["volume_absorption"], flat_cell, absorbed, physical)
         else:
             col = rix * n_y + riy
             tallies["flux_up"] = tally_add(tallies["flux_up"], col, w, exit_top)
@@ -1091,14 +1307,17 @@ def make_batch_tracer(geom: GridGeometry, optics: DeviceOptics, tables: DeviceTa
                 n_dirs * (n_comp + 1) if compute_intensity else 0, jnp.float32),
         }
         # Mirrors event_step's static specialization flags (same expressions).
-        conservative = (opt.n_components == 1 and optics.use_onehot
+        conservative = (opt.n_components == 1
                         and opt.uniform_ssa == 1.0
                         and opt.uniform_phase_index is not None)
         if optics.use_onehot and config.compute_volume_absorption:
             tallies["cells"] = jnp.zeros((n_cells, 4), jnp.float32)
-        elif optics.use_onehot:
+        elif col_onehot:
             tallies["columns"] = jnp.zeros((n_x * n_y, 2 if conservative else 3),
                                            jnp.float32)
+            if config.compute_volume_absorption and not optics.use_onehot:
+                tallies["volume_absorption"] = jnp.zeros(n_x * n_y * n_z,
+                                                         jnp.float32)
         else:
             tallies["flux_up"] = jnp.zeros(n_x * n_y, jnp.float32)
             tallies["flux_down"] = jnp.zeros(n_x * n_y, jnp.float32)
@@ -1157,12 +1376,13 @@ def make_batch_tracer(geom: GridGeometry, optics: DeviceOptics, tables: DeviceTa
             flux_down = jnp.sum(cells[:, :, 1], axis=1)
             flux_absorbed = jnp.sum(cells[:, :, 2], axis=1)
             volume_absorption = cells[:, :, 3].reshape(n_x * n_y * n_z)
-        elif optics.use_onehot:
+        elif col_onehot:
             flux_up = tallies["columns"][:, 0]
             flux_down = tallies["columns"][:, 1]
             flux_absorbed = (jnp.zeros(n_x * n_y, jnp.float32) if conservative
                              else tallies["columns"][:, 2])
-            volume_absorption = jnp.zeros(n_x * n_y * n_z, jnp.float32)
+            volume_absorption = tallies.get(
+                "volume_absorption", jnp.zeros(n_x * n_y * n_z, jnp.float32))
         else:
             flux_up = tallies["flux_up"]
             flux_down = tallies["flux_down"]

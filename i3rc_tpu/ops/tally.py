@@ -64,6 +64,10 @@ def tally_multi(acc: jnp.ndarray, flat_idx, values) -> jnp.ndarray:
     lo = flat_idx - hi * k
     oh_lo = (lo[:, None] == jnp.arange(k, dtype=flat_idx.dtype)[None, :]).astype(values.dtype)
     # W[l, lo, j] = oh_lo * value; tally[hi, lo, j] = oh_hi.T @ W  (MXU)
+    # (An unrolled per-j variant — m separate (n_hi, L) x (L, k) matmuls —
+    # was measured 40% SLOWER on the Landsat loop: the tall-skinny shapes
+    # with 128-wide outputs waste the MXU; the fused (L, k*m) operand pays
+    # a materialized copy but keeps one well-shaped matmul.)
     w = (oh_lo[:, :, None] * values[:, None, :]).reshape(values.shape[0], k * m)
     oh_hi = (hi[:, None] == jnp.arange(n_hi, dtype=flat_idx.dtype)[None, :]).astype(values.dtype)
     t = jnp.matmul(oh_hi.T, w, preferred_element_type=jnp.float32,
