@@ -125,13 +125,13 @@ def test_chained_flux_tracer_matches_plain_general():
 
 
 def test_big_domain_auto_enables_block_majorants():
-    """Integrator.create flips majorant_block_size 0 -> 16 above the
+    """Integrator.create flips majorant_block_size 0 -> 8 above the
     one-hot threshold (here forced by the real Landsat scene size)."""
     from i3rc_tpu.models.landsat_cloud import make_landsat_cloud
 
     integ = Integrator.create(
         make_landsat_cloud(1.0),
         config=IntegratorConfig(use_ray_tracing=False))
-    assert integ.config.majorant_block_size == 16
+    assert integ.config.majorant_block_size == 8
     assert integ.coarse_geometry is not None
     assert integ.optics.block_majorant.size > 0
