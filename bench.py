@@ -114,6 +114,31 @@ def run_landsat(jax, scale):
     return n_photons / dt, res
 
 
+def run_landsat_general(jax, scale):
+    """Landsat flux through the GENERAL kernel (fastpath off): the
+    serial-gather chained flux tracer (wavefront.make_chained_flux_tracer).
+    Regression row for VERDICT r2 #2 — the >262k-cell general-domain path."""
+    from i3rc_tpu.core.illumination import PhotonSource
+    from i3rc_tpu.integrators.config import IntegratorConfig
+    from i3rc_tpu.integrators.integrator import Integrator
+    from i3rc_tpu.models.landsat_cloud import make_landsat_cloud
+
+    n_photons = (1 << 21) // scale
+    integ = Integrator.create(
+        make_landsat_cloud(1.0),
+        config=IntegratorConfig(use_ray_tracing=False, max_events=500,
+                                compute_volume_absorption=False,
+                                use_fastpath=False))
+    fn = integ.batch_fn(PhotonSource.directional(0.5, 0.0), n_photons,
+                        n_lanes=min(1 << 16, n_photons))
+    key = jax.random.key(6, impl="rbg")
+    res = fn(jax.random.fold_in(key, 99))
+    jax.block_until_ready(res.flux_up)
+    dt, res = _median_time(fn, [jax.random.fold_in(key, i) for i in range(2)],
+                           lambda r: jax.block_until_ready(r.flux_up))
+    return n_photons / dt, res
+
+
 def run_landsat_absorbing_radiance(jax, scale):
     """Landsat ssa=0.99 + 2 detectors: the GENERAL kernel (no fast route —
     column media exclude detectors), queued local estimation.  The
@@ -127,8 +152,7 @@ def run_landsat_absorbing_radiance(jax, scale):
     integ = Integrator.create(
         make_landsat_cloud(0.99),
         config=IntegratorConfig(use_ray_tracing=False, max_events=500,
-                                compute_volume_absorption=False,
-                                majorant_block_size=16),
+                                compute_volume_absorption=False),
         intensity_mus=[1.0, 0.5], intensity_phis=[0.0, 0.0])
     fn = integ.batch_fn(PhotonSource.directional(0.5, 0.0), n_photons,
                         n_lanes=min(1 << 15, n_photons))
@@ -315,6 +339,9 @@ def main():
         l_rate, l_res = run_landsat(jax, scale)
         extras.append({"metric": "photons/sec/chip (Landsat case 4, 1.95M cells, flux)",
                        "value": l_rate, "unit": "photons/s"})
+        lg_rate, lg_res = run_landsat_general(jax, scale)
+        extras.append({"metric": "photons/sec/chip (Landsat case 4, general kernel, chained)",
+                       "value": lg_rate, "unit": "photons/s"})
         la_rate, la_res = run_landsat_absorbing_radiance(jax, scale)
         extras.append({"metric": "photons/sec/chip (Landsat ssa=0.99 + 2 detectors, general kernel)",
                        "value": la_rate, "unit": "photons/s"})
