@@ -40,6 +40,12 @@ def _median_time(fn, keys, ready):
         t0 = time.perf_counter()
         res = fn(k)
         ready(res)
+        # Defensive sync: a tiny device_get is an unconditional barrier even
+        # where an experimental backend's block_until_ready is unreliable
+        # (adds one scalar transfer, <1 ms, to every timed rep uniformly).
+        import jax as _jax
+        import numpy as _np
+        _np.asarray(_jax.tree.leaves(res)[0]).ravel()[:1]
         times.append(time.perf_counter() - t0)
     times.sort()
     return times[len(times) // 2], res
