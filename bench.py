@@ -56,12 +56,13 @@ def run_headline(jax, scale, n_runs=3):
     from i3rc_tpu.core.illumination import PhotonSource
     from i3rc_tpu.integrators.config import IntegratorConfig
 
-    # 2^29 photons per dispatch: the persistent-photon refill keeps lane
+    # 2^30 photons per dispatch: the persistent-photon refill keeps lane
     # occupancy high through the bulk of the run; the drain tail (up to
     # max_events after the last launch) amortizes to ~nothing at this size
-    # (measured round 3: 265M photons/s at 2^24 -> 462M at 2^27 -> 508M at
-    # 2^29, same kernel — collision chaining depth 3).
-    n_photons = (1 << 29) // scale
+    # (measured round 3, with the device_get timing barrier: 265M photons/s
+    # at 2^24 -> 462M at 2^27 -> 495M at 2^29 -> 510M at 2^30, same kernel —
+    # collision chaining depth 3; ~2.1 s per dispatch).
+    n_photons = (1 << 30) // scale
     integ = _step_cloud_integrator(
         config=IntegratorConfig(use_ray_tracing=False, max_events=500,
                                 compute_volume_absorption=False))
@@ -328,7 +329,7 @@ def main():
         print(profile_report(args.profile), file=sys.stderr)
     else:
         rate, res, dt = run_headline(jax, scale)
-    n_headline = (1 << 29) // scale
+    n_headline = (1 << 30) // scale
 
     checks_passed = True
     messages = []
