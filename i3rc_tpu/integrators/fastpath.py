@@ -304,6 +304,22 @@ class FastPlan:
     column_props: bool = False
     # Number of table entries flattened into `cubic` ((entries*nseg, 4)).
     cubic_entries: int = 1
+    # Forward phase VALUES for tabulated-phase radiance: (n_segments, 4)
+    # piecewise-cubic coefficients of log P vs scattering angle
+    # (tables.build_forward_cubic).  None for HG plans (analytic value) and
+    # for flux-only tabulated plans.  With this, single-entry tabulated
+    # tables (Mie, Dermendjian C.1) keep the fastpath WITH detectors —
+    # previously any detector forced the general kernel.
+    fwd_cubic: object = None
+    # Closed-form shadow traces: when at most ONE horizontal factor is
+    # non-trivial (the common 2-D benchmark shape), the optical depth from
+    # any point to the z boundary along a fixed detector direction has a
+    # closed form — per z segment, the horizontal line integral is a
+    # difference of the (periodically extended) cumulative integral of the
+    # non-trivial factor.  O(n_z_seg * n_h_seg) selects per detector per
+    # event instead of up to 24 unrolled DDA steps, exact to float32, and
+    # immune to the step-budget eligibility cap (shadow_steps is unused).
+    closed_shadow: bool = False
 
 
 def fast_plan(geom, flat, optics, surface, intensity, config) -> FastPlan | None:
@@ -314,11 +330,15 @@ def fast_plan(geom, flat, optics, surface, intensity, config) -> FastPlan | None
     function — optionally plus a horizontally-uniform pure-absorber second
     component (the spectral gas shape; see FastPlan.gas_factor) — a
     Lambertian surface (any albedo; BRDFs go general), non-ray-tracing
-    transport, regular grid, separable few-segment extinction.  Radiance detectors are supported with the
-    default estimator configuration (exact transmittance traces — no
-    Iwabuchi roulette, ratio tracking, hybrid phase functions, or clipping;
-    the segment traces are cheap enough that the exact estimator is both
-    faster and lower-variance than the reference's accelerations).
+    transport, regular grid, separable few-segment extinction.  Radiance
+    detectors are supported with the default estimator configuration (exact
+    transmittance traces — no Iwabuchi roulette, ratio tracking, hybrid
+    phase functions, or clipping; the traces are cheap enough that the
+    exact estimator is both faster and lower-variance than the reference's
+    accelerations), for HG (analytic phase value) and single-entry
+    tabulated tables (log-cubic forward read, FastPlan.fwd_cubic); the
+    transmittance is closed-form when at most one horizontal factor varies
+    (FastPlan.closed_shadow) and a step-bounded segment march otherwise.
     """
     if not getattr(config, "use_fastpath", True):
         return None
@@ -419,6 +439,7 @@ def fast_plan(geom, flat, optics, surface, intensity, config) -> FastPlan | None
         return None
     cubic = None
     cubic_entries = 1
+    fwd_cubic = None
     if per_col_props:
         # Every entry's piecewise-cubic mu(p) fit, flattened: the kernel's
         # row base is pf_index * n_segments from the column read.
@@ -432,14 +453,18 @@ def fast_plan(geom, flat, optics, surface, intensity, config) -> FastPlan | None
         # Not (exactly) Henyey-Greenstein: single-entry tables sample the
         # same piecewise-cubic mu(p) inverse-CDF fit as the general kernel
         # (one small one-hot row read per event — XLA path only).  Radiance
-        # detectors additionally need phase VALUES: general kernel.
+        # detectors additionally read phase VALUES from a log-space cubic
+        # fit of the forward table (FastPlan.fwd_cubic).
         if (optics.n_components != 1 or gas_factor is not None
-                or intensity is not None
                 or len(flat.forward_tables[0].phase_functions) != 1):
             return None
-        from i3rc_tpu.integrators.tables import build_inverse_cubic
+        from i3rc_tpu.integrators.tables import (build_forward_cubic,
+                                                 build_inverse_cubic)
 
         cubic = np.asarray(build_inverse_cubic(flat)[0, 0], np.float32)
+        if intensity is not None:
+            fwd_cubic = np.asarray(build_forward_cubic(flat)[0, 0],
+                                   np.float32)
         g = 0.0
     factors = None if per_col_props else separable_factors(
         cloud_field, np.asarray(geom.x_edges),
@@ -478,6 +503,7 @@ def fast_plan(geom, flat, optics, surface, intensity, config) -> FastPlan | None
 
     detectors = ()
     shadow_steps = 0
+    closed_shadow = False
     if intensity is not None:
         dirs = np.asarray(intensity.directions, float)       # (3, D)
         mus = np.asarray(intensity.abs_mu, float)
@@ -485,24 +511,33 @@ def fast_plan(geom, flat, optics, surface, intensity, config) -> FastPlan | None
         ye = np.asarray(geom.y_edges, float)
         ze = np.asarray(geom.z_edges, float)
 
-        def min_gap(f: StepFactor, lo, hi):
-            pts = np.asarray([lo, *f.thresholds, hi])
-            return float(np.diff(pts).min())
-
         for d in range(dirs.shape[1]):
             dx_, dy_, dz_ = dirs[:, d]
-            path = (ze[-1] - ze[0]) / max(abs(dz_), 1e-6)
-            steps = 2 + fz.n_ops + 1
-            if fx.n_ops:
-                steps += int(path * abs(dx_) / min_gap(fx, xe[0], xe[-1])) + 1
-            steps += int(path * abs(dx_) / (xe[-1] - xe[0])) + 1  # periodic wraps
-            if fy.n_ops:
-                steps += int(path * abs(dy_) / min_gap(fy, ye[0], ye[-1])) + 1
-            steps += int(path * abs(dy_) / (ye[-1] - ye[0])) + 1
-            shadow_steps = max(shadow_steps, steps)
             detectors += ((float(dx_), float(dy_), float(dz_), float(mus[d])),)
-        if shadow_steps > 24:
-            return None
+        # Closed-form transmittance (see FastPlan.closed_shadow): eligible
+        # whenever at most one horizontal factor varies and every detector
+        # leaves the z range (|dz| bounded away from the horizon).
+        closed_shadow = ((fx.n_ops > 0) + (fy.n_ops > 0) <= 1
+                         and all(abs(d_[2]) > 1e-6 for d_ in detectors))
+        if not closed_shadow:
+            # Marching fallback: bound the unrolled segment-DDA step count.
+            def min_gap(f: StepFactor, lo, hi):
+                pts = np.asarray([lo, *f.thresholds, hi])
+                return float(np.diff(pts).min())
+
+            for d in range(dirs.shape[1]):
+                dx_, dy_, dz_ = dirs[:, d]
+                path = (ze[-1] - ze[0]) / max(abs(dz_), 1e-6)
+                steps = 2 + fz.n_ops + 1
+                if fx.n_ops:
+                    steps += int(path * abs(dx_) / min_gap(fx, xe[0], xe[-1])) + 1
+                steps += int(path * abs(dx_) / (xe[-1] - xe[0])) + 1  # wraps
+                if fy.n_ops:
+                    steps += int(path * abs(dy_) / min_gap(fy, ye[0], ye[-1])) + 1
+                steps += int(path * abs(dy_) / (ye[-1] - ye[0])) + 1
+                shadow_steps = max(shadow_steps, steps)
+            if shadow_steps > 24:
+                return None
 
     return FastPlan(fx=fx, fy=fy, fz=fz,
                     hg_g=g, unroll=int(getattr(config, "fastpath_unroll", 8)),
@@ -510,7 +545,8 @@ def fast_plan(geom, flat, optics, surface, intensity, config) -> FastPlan | None
                     column_data=column_data, ssa=uniform_ssa,
                     gas_factor=gas_factor, gas_idx=gas_idx,
                     cubic=cubic, surface_albedo=surface_albedo,
-                    column_props=per_col_props, cubic_entries=cubic_entries)
+                    column_props=per_col_props, cubic_entries=cubic_entries,
+                    closed_shadow=closed_shadow, fwd_cubic=fwd_cubic)
 
 
 # ---------------------------------------------------------------------------
@@ -687,6 +723,10 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
         from i3rc_tpu.ops.gather import read_rows as _read_rows_cubic
         cubic_table = jnp.asarray(plan.cubic)     # (entries*n_segments, 4)
         n_seg_cubic = int(plan.cubic.shape[0]) // int(plan.cubic_entries)
+    fwd_mode = plan.fwd_cubic is not None
+    if fwd_mode:
+        fwd_table = jnp.asarray(plan.fwd_cubic)   # (n_fwd_seg, 4) log P
+        n_fwd_seg = int(plan.fwd_cubic.shape[0])
     col_props = bool(plan.column_props)
 
     def _inv_factor(f: StepFactor) -> StepFactor:
@@ -834,6 +874,103 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
             if track_y:
                 py = jnp.where(done, py, npy)
         return tau, col, done & live
+
+    # Closed-form transmittance (FastPlan.closed_shadow): with at most one
+    # non-trivial horizontal factor fh, tau(p -> z boundary along d) =
+    # sum over fz segments of  v_z * c_other * integral of fh along the
+    # ray's horizontal footprint in that segment's t-window — and the
+    # horizontal line integral is a difference of FhP, the periodic
+    # extension of the cumulative integral of fh (piecewise linear, few
+    # segments).  Exact (same quantity the marching trace integrates box
+    # by box), O(n_z_seg * n_h_seg) selects, no step budget, and the exit
+    # column is one wrap + floor.  Replaces the transmittance trace of
+    # computeIntensityContribution (monteCarloRadiativeTransfer.f95:
+    # 1512-1535) with a constant-cost evaluation.
+    if D and plan.closed_shadow:
+        if fx.n_ops:
+            _h_f, _h_lo, _h_hi, _h_axis = fx, x0, x_max, 0
+            _c_other = float(fy.values[0])
+        elif fy.n_ops:
+            _h_f, _h_lo, _h_hi, _h_axis = fy, y0, y_max, 1
+            _c_other = float(fx.values[0])
+        else:
+            _h_f, _h_axis = None, -1
+            _c_other = float(fx.values[0]) * float(fy.values[0])
+        _z_seg_lo = (float(z0),) + fz.thresholds
+        _z_seg_hi = fz.thresholds + (float(z_max),)
+        _z_vals = tuple(float(v) * _c_other for v in fz.values)
+        if _h_f is not None:
+            _h_starts = (float(_h_lo),) + _h_f.thresholds
+            _h_ends = _h_f.thresholds + (float(_h_hi),)
+            _h_cums = [0.0]
+            for s_, e_, v_ in zip(_h_starts, _h_ends, _h_f.values):
+                _h_cums.append(_h_cums[-1] + float(v_) * (e_ - s_))
+            _h_tot = np.float32(_h_cums[-1])
+            _h_W = np.float32(_h_hi - _h_lo)
+            _h_invW = np.float32(1.0 / (_h_hi - _h_lo))
+
+            def _cum_h(xu):
+                """FhP: cumulative integral of fh, periodically extended."""
+                n = jnp.floor((xu - jnp.float32(_h_lo)) * _h_invW)
+                r = xu - n * _h_W
+                F = jnp.float32(_h_f.values[0]) * (r - jnp.float32(_h_lo))
+                for s_, v_, c_ in zip(_h_starts[1:], _h_f.values[1:],
+                                      _h_cums[1:]):
+                    F = jnp.where(r >= jnp.float32(s_),
+                                  jnp.float32(c_)
+                                  + jnp.float32(v_) * (r - jnp.float32(s_)),
+                                  F)
+                return n * _h_tot + F
+
+        _wrap_W_x = np.float32(x_max - x0)
+        _wrap_inv_x = np.float32(1.0 / (x_max - x0))
+        if track_y and n_y > 1:
+            _wrap_W_y = np.float32(y_max - y0)
+            _wrap_inv_y = np.float32(1.0 / (y_max - y0))
+
+        def shadow_closed(d_idx, live, px, py, pz):
+            dxd, dyd, dzd, _ = plan.detectors[d_idx]
+            inv_dzd = jnp.float32(1.0 / dzd)
+            going_up = dzd >= 0.0
+            dhd = (dxd, dyd)[_h_axis] if _h_axis >= 0 else 0.0
+            ph = (px, py)[_h_axis] if _h_axis >= 0 else None
+            tau = jnp.zeros_like(px)
+            for zl, zh, v in zip(_z_seg_lo, _z_seg_hi, _z_vals):
+                if v <= 0.0:
+                    continue
+                if going_up:
+                    t_lo = jnp.maximum((jnp.float32(zl) - pz) * inv_dzd, 0.0)
+                    t_hi = jnp.maximum((jnp.float32(zh) - pz) * inv_dzd, 0.0)
+                else:
+                    t_lo = jnp.maximum((jnp.float32(zh) - pz) * inv_dzd, 0.0)
+                    t_hi = jnp.maximum((jnp.float32(zl) - pz) * inv_dzd, 0.0)
+                if _h_axis >= 0 and abs(dhd) > 1e-12:
+                    seg = (_cum_h(ph + t_hi * jnp.float32(dhd))
+                           - _cum_h(ph + t_lo * jnp.float32(dhd))) \
+                        * jnp.float32(1.0 / dhd)
+                elif _h_axis >= 0:
+                    seg = _h_f(ph) * (t_hi - t_lo)
+                else:
+                    seg = t_hi - t_lo
+                tau = tau + jnp.float32(v) * jnp.maximum(seg, 0.0)
+            t_ex = ((jnp.float32(z_max) if going_up else jnp.float32(z0))
+                    - pz) * inv_dzd
+            xe = px + t_ex * jnp.float32(dxd)
+            xe = xe - _wrap_W_x * jnp.floor((xe - x0) * _wrap_inv_x)
+            ix = jnp.clip(((xe - x0) * inv_dx).astype(jnp.int32), 0, n_x - 1)
+            if track_y and n_y > 1:
+                ye_ = py + t_ex * jnp.float32(dyd)
+                ye_ = ye_ - _wrap_W_y * jnp.floor((ye_ - y0) * _wrap_inv_y)
+                iy = jnp.clip(((ye_ - y0) * inv_dy).astype(jnp.int32),
+                              0, n_y - 1)
+                col = ix * n_y + iy
+            else:
+                col = ix
+            return tau, col, live
+
+        shadow_fn = shadow_closed
+    else:
+        shadow_fn = shadow_trace
 
     # Segment-march depth: one event consumes the free path through up to
     # MARCH segment crossings before (or until) the collision, so the event
@@ -1015,9 +1152,23 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
             pos_y = y if track_y else None
             for d, (dxd, dyd, dzd, amu) in enumerate(plan.detectors):
                 proj = jnp.clip(ux * dxd + uy * dyd + uz * dzd, -1.0, 1.0)
-                norm_pf = hg_phase(plan.hg_g, proj) * jnp.float32(
-                    1.0 / (4.0 * np.pi * amu))
-                tau_d, col_d, ok = shadow_trace(d, collided, x, pos_y, z)
+                if fwd_mode:
+                    # Tabulated phase VALUE at the photon->detector angle:
+                    # log-space cubic row read (FastPlan.fwd_cubic), the
+                    # fastpath form of the reference's forward-table
+                    # interpolation (:1487-1509).
+                    angd = jnp.arccos(proj)
+                    posd = angd * jnp.float32(n_fwd_seg / np.pi)
+                    segd = jnp.clip(posd.astype(jnp.int32), 0, n_fwd_seg - 1)
+                    tdv = posd - segd.astype(posd.dtype)
+                    cf = _read_rows_cubic(fwd_table, segd)
+                    pf_v = jnp.exp(((cf[:, 3] * tdv + cf[:, 2]) * tdv
+                                    + cf[:, 1]) * tdv + cf[:, 0])
+                    norm_pf = pf_v * jnp.float32(1.0 / (4.0 * np.pi * amu))
+                else:
+                    norm_pf = hg_phase(plan.hg_g, proj) * jnp.float32(
+                        1.0 / (4.0 * np.pi * amu))
+                tau_d, col_d, ok = shadow_fn(d, collided, x, pos_y, z)
                 contrib = jnp.where(ok, norm_pf * jnp.exp(-tau_d), 0.0)
                 vals = jnp.stack([contrib if j == d else jnp.zeros_like(contrib)
                                   for j in range(D)], axis=1)
@@ -1305,8 +1456,8 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
                             # reference's non-positive-step guard,
                             # monteCarloRadiativeTransfer.f95:1711-1714).
                             continue
-                        tau_d, col_d, okd = shadow_trace(d, revive, x,
-                                                         pos_ys, zs)
+                        tau_d, col_d, okd = shadow_fn(d, revive, x,
+                                                      pos_ys, zs)
                         contrib = jnp.where(
                             okd, jnp.float32(1.0 / np.pi) * jnp.exp(-tau_d),
                             0.0)

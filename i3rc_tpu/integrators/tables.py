@@ -89,6 +89,42 @@ def build_forward_tables(optics: FlatOptics, n_steps: int) -> np.ndarray:
     return _pad_stack(mats, n_steps)
 
 
+def build_forward_cubic(optics: FlatOptics, n_segments: int = 512,
+                        samples_per_segment: int = 9) -> np.ndarray:
+    """Piecewise-cubic fit of LOG phase value vs scattering angle.
+
+    Returns (n_components, max_entries, n_segments, 4) coefficients c such
+    that log P = c0 + c1 t + c2 t^2 + c3 t^3 with t = theta/pi * S - segment
+    in [0, 1).  Fitting log P keeps the Mie forward peak (orders of
+    magnitude over a degree) within cubic reach; the kernel exponentiates
+    after evaluation.  This is the fastpath's form of the general kernel's
+    equally-spaced-in-angle forward value lookup (the reference's
+    interpolation at the photon->detector angle,
+    monteCarloRadiativeTransfer.f95:1487-1509): one 4-wide one-hot row
+    read + exp per detector per collision instead of a serialized gather
+    from the dense table.
+    """
+    s, m = n_segments, samples_per_segment
+    t = np.linspace(0.0, 1.0, m)
+    design = np.stack([np.ones(m), t, t**2, t**3], axis=1)      # (m, 4)
+    pinv = np.linalg.pinv(design)                                # (4, m)
+    theta = np.clip(((np.arange(s)[:, None] + t[None, :])
+                     * (np.pi / s)).reshape(-1), 0.0, np.pi)     # (s*m,)
+
+    per_comp = []
+    for table in optics.forward_tables:
+        vals = np.asarray(table.values(theta), dtype=np.float64).T
+        logv = np.log(np.maximum(vals, 1e-30)).reshape(-1, s, m)
+        per_comp.append(logv @ pinv.T)                           # (entries, s, 4)
+    max_entries = max(c.shape[0] for c in per_comp)
+    out = np.zeros((len(per_comp), max_entries, s, 4), dtype=np.float32)
+    for i, c in enumerate(per_comp):
+        out[i, : c.shape[0]] = c
+        if c.shape[0] < max_entries:
+            out[i, c.shape[0]:] = c[-1]
+    return out
+
+
 def hybridize(forward: np.ndarray, width_degrees: float) -> np.ndarray:
     """Replace each entry's forward peak with a continuous Gaussian.
 

@@ -695,3 +695,143 @@ def test_multi_entry_column_props_eligibility():
     assert plan.ssa == pytest.approx(0.97)
     # pf index 1 recorded for the (1, 1) column
     assert plan.column_data[1 * ny + 1, 4] == 1.0
+
+
+def test_closed_shadow_matches_marching_trace():
+    """Closed-form transmittance (FastPlan.closed_shadow) vs the unrolled
+    marching segment-DDA: both integrate the same piecewise-constant
+    extinction exactly and the shadow traces draw no RNG, so the same key
+    produces identical collisions and the radiance fields must agree to
+    float32 trace accuracy (column totals tighter than per-column, which
+    tolerates rare wrap-edge column assignment swaps)."""
+    import dataclasses
+
+    from i3rc_tpu.integrators.fastpath import make_fast_tracer
+
+    n = 1 << 14
+    src = PhotonSource.directional(0.5, 0.0)
+    det = dict(intensity_mus=[1.0, 0.5, -0.5],
+               intensity_phis=[0.0, 40.0, 180.0])
+    integ = _step_cloud(IntegratorConfig(use_ray_tracing=False,
+                                         max_events=500,
+                                         compute_volume_absorption=False),
+                        **det)
+    plan = _plan(integ)
+    assert plan is not None and plan.closed_shadow and len(plan.detectors) == 3
+    marching = dataclasses.replace(plan, closed_shadow=False, shadow_steps=24)
+    t_closed = make_fast_tracer(integ.geometry, plan, integ.config, n)
+    t_march = make_fast_tracer(integ.geometry, marching, integ.config, n)
+    key = jax.random.PRNGKey(77)
+    k_src, k_trace = jax.random.split(key)
+    batch = src.sample(k_src, n)
+    r_c = t_closed(k_trace, batch, src)
+    r_m = t_march(k_trace, batch, src)
+    i_c = np.asarray(r_c.intensity, np.float64)
+    i_m = np.asarray(r_m.intensity, np.float64)
+    assert i_c.sum() > 0.0
+    np.testing.assert_allclose(i_c.sum(), i_m.sum(), rtol=2e-4)
+    np.testing.assert_allclose(i_c, i_m, rtol=0.02,
+                               atol=1e-3 * float(i_m.max()))
+    # Fluxes ride the identical transport stream: bitwise-equal tallies.
+    np.testing.assert_array_equal(np.asarray(r_c.flux_up),
+                                  np.asarray(r_m.flux_up))
+
+
+def test_forward_cubic_fit_accuracy():
+    """The log-space cubic fit of the forward phase table reproduces the
+    C.1 values (forward peak included) to a few tenths of a percent —
+    far inside the MC noise the radiance cross-checks resolve."""
+    from i3rc_tpu.core.optics import Domain
+    from i3rc_tpu.core.phase_functions import PhaseFunctionTable
+    from i3rc_tpu.integrators.integrator import Integrator
+    from i3rc_tpu.integrators.tables import build_forward_cubic
+    from i3rc_tpu.models.radar_cloud import load_c1_tabulated
+
+    table = PhaseFunctionTable.from_phase_functions([load_c1_tabulated()],
+                                                    key=[1.0])
+    dom = Domain.create([0, 500.0], [0, 500.0], np.linspace(0, 250, 5))
+    ext = np.full((1, 1, 4), 2.0 / 250.0)
+    dom = dom.add_component("cloud", ext, np.ones_like(ext),
+                            np.zeros(ext.shape, np.int32), table)
+    integ = Integrator.create(dom, config=IntegratorConfig(
+        use_ray_tracing=False, compute_volume_absorption=False))
+    flat = integ._flat
+    coeffs = build_forward_cubic(flat)[0, 0]           # (S, 4)
+    s = coeffs.shape[0]
+    theta = np.linspace(1e-4, np.pi - 1e-4, 4001)
+    pos = theta / np.pi * s
+    seg = np.clip(pos.astype(int), 0, s - 1)
+    t = pos - seg
+    c = coeffs[seg].astype(np.float64)
+    fit = np.exp(((c[:, 3] * t + c[:, 2]) * t + c[:, 1]) * t + c[:, 0])
+    exact = np.asarray(flat.forward_tables[0].values(theta))[:, 0]
+    np.testing.assert_allclose(fit, exact, rtol=5e-3)
+
+
+def test_tabulated_phase_radiance_on_fastpath():
+    """Tabulated-phase (C.1) radiance detectors stay on the fastpath:
+    the log-cubic forward read + closed-form shadow traces cross-check
+    against the general kernel's dense-table local estimation."""
+    from i3rc_tpu.core.optics import Domain
+    from i3rc_tpu.core.phase_functions import PhaseFunctionTable
+    from i3rc_tpu.integrators.integrator import Integrator
+    from i3rc_tpu.models.radar_cloud import load_c1_tabulated
+
+    det = dict(intensity_mus=[0.5, -0.5], intensity_phis=[0.0, 0.0])
+    table = PhaseFunctionTable.from_phase_functions([load_c1_tabulated()],
+                                                    key=[1.0])
+    dom = Domain.create([0, 500.0], [0, 500.0], np.linspace(0, 250, 5))
+    ext = np.full((1, 1, 4), 2.0 / 250.0)
+    dom = dom.add_component("cloud", ext, np.ones_like(ext),
+                            np.zeros(ext.shape, np.int32), table)
+    f = Integrator.create(dom, config=IntegratorConfig(
+        use_ray_tracing=False, max_events=2000,
+        compute_volume_absorption=False), **det)
+    plan = _plan(f)
+    assert plan is not None and plan.fwd_cubic is not None
+    assert plan.closed_shadow and plan.detectors
+    g = Integrator.create(dom, config=IntegratorConfig(
+        use_ray_tracing=False, max_events=2000,
+        compute_volume_absorption=False, majorant_block_size=4,
+        use_fastpath=False), **det)
+    n = 1 << 15
+    src = PhotonSource.directional(0.5, 0.0)
+    rf = f.batch_fn(src, n)(jax.random.PRNGKey(21))
+    rg = g.batch_fn(src, n)(jax.random.PRNGKey(22))
+    i_f = np.asarray(rf.mean_intensity)
+    i_g = np.asarray(rg.mean_intensity)
+    assert i_f.min() > 0.0
+    np.testing.assert_allclose(i_f, i_g, rtol=0.08)
+    assert float(rf.mean_flux_up + rf.mean_flux_down) == pytest.approx(
+        1.0, abs=1e-4)
+
+
+def test_closed_shadow_eligibility():
+    """Plan wiring for the closed-form transmittance: 2-D scenes elect it
+    (no step-budget cap), fully-3-D separable scenes keep the bounded
+    marching trace, tabulated tables carry the forward-value fit."""
+    det = dict(intensity_mus=[0.5, -0.5], intensity_phis=[0.0, 0.0])
+    p2d = _plan(_step_cloud(FAST_CFG, **det))
+    assert p2d is not None and p2d.closed_shadow and p2d.shadow_steps == 0
+    assert p2d.fwd_cubic is None  # exact HG: analytic phase value
+
+    # Both horizontal factors non-trivial: marching fallback with a budget.
+    from i3rc_tpu.core.optics import Domain
+    from i3rc_tpu.core.phase_functions import (
+        PhaseFunction, PhaseFunctionTable, henyey_greenstein_coefficients)
+    from i3rc_tpu.integrators.integrator import Integrator
+
+    table = PhaseFunctionTable.from_phase_functions(
+        [PhaseFunction.from_legendre(henyey_greenstein_coefficients(0.85, 64))],
+        key=[1.0])
+    nx = ny = 2
+    vx = np.array([1.0, 2.0])
+    vy = np.array([1.0, 3.0])
+    ext = (vx[:, None, None] * vy[None, :, None]
+           * np.full((1, 1, 4), 4.0 / 250.0))
+    dom = Domain.create(np.linspace(0, 500, nx + 1), np.linspace(0, 500, ny + 1),
+                        np.linspace(0, 250, 5))
+    dom = dom.add_component("cloud", ext, np.ones_like(ext),
+                            np.zeros(ext.shape, np.int32), table)
+    p3d = _plan(Integrator.create(dom, config=FAST_CFG, **det))
+    assert p3d is not None and not p3d.closed_shadow and p3d.shadow_steps > 0
