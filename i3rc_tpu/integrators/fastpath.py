@@ -339,6 +339,8 @@ def fast_plan(geom, flat, optics, surface, intensity, config) -> FastPlan | None
     tabulated tables (log-cubic forward read, FastPlan.fwd_cubic); the
     transmittance is closed-form when at most one horizontal factor varies
     (FastPlan.closed_shadow) and a step-bounded segment march otherwise.
+    Gas-channel plans admit detectors on the closed trace only (the gas
+    adds its own vertical closed-form segments to every shadow ray).
     """
     if not getattr(config, "use_fastpath", True):
         return None
@@ -365,8 +367,6 @@ def fast_plan(geom, flat, optics, surface, intensity, config) -> FastPlan | None
         # (the spectral loop's "Gas absorption", spectral.py:36-46) rides as
         # a factorized collision channel; the other must satisfy the usual
         # single-component requirements.
-        if intensity is not None:        # shadow rays don't carry gas (yet)
-            return None
         total = np.asarray(flat.total_ext, np.float64)
         cum = np.asarray(flat.cumulative_ext, np.float64)
         ssa_c = np.asarray(flat.ssa, np.float64)
@@ -519,6 +519,12 @@ def fast_plan(geom, flat, optics, surface, intensity, config) -> FastPlan | None
         # leaves the z range (|dz| bounded away from the horizon).
         closed_shadow = ((fx.n_ops > 0) + (fy.n_ops > 0) <= 1
                          and all(abs(d_[2]) > 1e-6 for d_ in detectors))
+        if gas_factor is not None and not closed_shadow:
+            # Shadow rays carry the (horizontally uniform) gas as a
+            # closed-form vertical integral; the marching fallback's face
+            # set doesn't include gas segments, so gas + detectors
+            # requires closed-trace eligibility.
+            return None
         if not closed_shadow:
             # Marching fallback: bound the unrolled segment-DDA step count.
             def min_gap(f: StepFactor, lo, hi):
@@ -899,6 +905,16 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
         _z_seg_lo = (float(z0),) + fz.thresholds
         _z_seg_hi = fz.thresholds + (float(z_max),)
         _z_vals = tuple(float(v) * _c_other for v in fz.values)
+        # Gas plans: the horizontally-uniform gas profile adds its own
+        # vertical closed-form segments (no horizontal factor) to every
+        # shadow trace — the reference integrates TOTAL extinction along
+        # the path (accumulateExtinctionAlongPath sums all components,
+        # monteCarloRadiativeTransfer.f95:1654-1807).
+        if gas_mode:
+            _gf = plan.gas_factor
+            _g_seg_lo = (float(z0),) + _gf.thresholds
+            _g_seg_hi = _gf.thresholds + (float(z_max),)
+            _g_vals = tuple(float(v) for v in _gf.values)
         if _h_f is not None:
             _h_starts = (float(_h_lo),) + _h_f.thresholds
             _h_ends = _h_f.thresholds + (float(_h_hi),)
@@ -953,6 +969,21 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
                 else:
                     seg = t_hi - t_lo
                 tau = tau + jnp.float32(v) * jnp.maximum(seg, 0.0)
+            if gas_mode:
+                for zl, zh, v in zip(_g_seg_lo, _g_seg_hi, _g_vals):
+                    if v <= 0.0:
+                        continue
+                    if going_up:
+                        t_lo = jnp.maximum((jnp.float32(zl) - pz) * inv_dzd,
+                                           0.0)
+                        t_hi = jnp.maximum((jnp.float32(zh) - pz) * inv_dzd,
+                                           0.0)
+                    else:
+                        t_lo = jnp.maximum((jnp.float32(zh) - pz) * inv_dzd,
+                                           0.0)
+                        t_hi = jnp.maximum((jnp.float32(zl) - pz) * inv_dzd,
+                                           0.0)
+                    tau = tau + jnp.float32(v) * jnp.maximum(t_hi - t_lo, 0.0)
             t_ex = ((jnp.float32(z_max) if going_up else jnp.float32(z0))
                     - pz) * inv_dzd
             xe = px + t_ex * jnp.float32(dxd)
@@ -1555,11 +1586,20 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
         zero0 = jnp.zeros(0, jnp.float32)
         if D:
             coll = st[12].reshape(n_cols * D)
-            # Component slot 0 is the surface; slot 1 single scattering.
+            # Component slot 0 is the surface; scatterers follow in
+            # component order.
             srf = (srf_acc.reshape(n_cols * D) if reflecting
                    else jnp.zeros_like(coll))
             intensity = coll + srf
-            by_comp = jnp.stack([srf, coll], axis=1).reshape(n_cols * D * 2)
+            if gas_mode:
+                # The gas (pure absorber) never scatters toward a
+                # detector: its slot stays zero, the cloud's collisions
+                # land at the cloud's component index.
+                slots = [srf, jnp.zeros_like(coll), jnp.zeros_like(coll)]
+                slots[1 + (1 - plan.gas_idx)] = coll
+            else:
+                slots = [srf, coll]
+            by_comp = jnp.stack(slots, axis=1).reshape(-1)
         else:
             intensity = by_comp = zero0
         fdn = columns[:, 1]
@@ -1570,7 +1610,8 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
             volume_absorption=(vol[:, 0] if vol_tally
                                else jnp.zeros(n_cols * n_z, jnp.float32)),
             intensity=intensity, intensity_by_component=by_comp,
-            intensity_excess=jnp.zeros(D * 2 if D else 0, jnp.float32),
+            intensity_excess=jnp.zeros(
+                D * (3 if gas_mode else 2) if D else 0, jnp.float32),
             n_photons=jnp.int32(n_photons), n_bad=n_bad,
             n_iterations=kb * K,
             n_lane_events=jnp.sum(st[11]).astype(jnp.float32))

@@ -43,6 +43,7 @@ SLOW_TESTS = [
     "test_fastpath.py::test_tabulated_phase_radiance_on_fastpath",
     "test_fastpath.py::test_closed_shadow_matches_marching_trace",
     "test_fastpath.py::test_gas_channel_eligibility_and_closure",
+    "test_fastpath.py::test_gas_radiance_matches_general_kernel",
     "test_fastpath.py::test_fastpath_refill_budget_exact",
     "test_fastpath.py::test_multi_entry_column_props_matches_general_kernel",
     "test_fastpath.py::test_column_volume_absorption_matches_general",

@@ -835,3 +835,96 @@ def test_closed_shadow_eligibility():
                             np.zeros(ext.shape, np.int32), table)
     p3d = _plan(Integrator.create(dom, config=FAST_CFG, **det))
     assert p3d is not None and not p3d.closed_shadow and p3d.shadow_steps > 0
+
+
+def test_gas_radiance_eligibility():
+    """Gas-channel plans admit detectors on the closed shadow trace only:
+    the gas adds vertical closed-form segments to every shadow ray; the
+    marching fallback (both horizontal factors varying) rejects."""
+    from i3rc_tpu.core.optics import Domain
+    from i3rc_tpu.core.phase_functions import (
+        PhaseFunction, PhaseFunctionTable, henyey_greenstein_coefficients)
+    from i3rc_tpu.integrators.integrator import Integrator
+    from i3rc_tpu.integrators.spectral import domain_with_gas_component
+
+    det = dict(intensity_mus=[0.5, -0.5], intensity_phis=[0.0, 0.0])
+    nz = 4
+    pf = PhaseFunction.from_legendre(henyey_greenstein_coefficients(0.85, 64))
+    table = PhaseFunctionTable.from_phase_functions([pf], key=[1.0])
+    base = Domain.create(np.linspace(0, 500, 3), [0, 500.],
+                         np.linspace(0, 250, nz + 1))
+    ext = (np.array([1.0, 3.0])[:, None, None]
+           * np.full((1, 1, nz), 1.0 / 250.0))
+    base = base.add_component("cloud", ext, np.ones_like(ext),
+                              np.zeros(ext.shape, np.int32), table)
+    gas_prof = np.array([0.5, 0.5, 1.5, 1.5]) / 250.0
+    dom = domain_with_gas_component(base, gas_prof)
+    plan = _plan(Integrator.create(dom, config=IntegratorConfig(
+        use_ray_tracing=False, max_events=2000,
+        compute_volume_absorption=False), **det))
+    assert plan is not None and plan.gas_factor is not None
+    assert plan.closed_shadow and len(plan.detectors) == 2
+    assert plan.gas_factor.n_ops == 1    # two gas segments
+
+    # Both horizontal factors non-trivial: no closed trace, gas rejects.
+    ext3 = (np.array([1.0, 3.0])[:, None, None]
+            * np.array([1.0, 2.0])[None, :, None]
+            * np.full((1, 1, nz), 1.0 / 250.0))
+    base3 = Domain.create(np.linspace(0, 500, 3), np.linspace(0, 500, 3),
+                          np.linspace(0, 250, nz + 1))
+    base3 = base3.add_component("cloud", ext3, np.ones_like(ext3),
+                                np.zeros(ext3.shape, np.int32), table)
+    dom3 = domain_with_gas_component(base3, gas_prof)
+    assert _plan(Integrator.create(dom3, config=IntegratorConfig(
+        use_ray_tracing=False, max_events=2000,
+        compute_volume_absorption=False), **det)) is None
+
+
+def test_gas_radiance_matches_general_kernel():
+    """Gas channel + radiance detectors on the fastpath: the closed shadow
+    trace includes the gas vertical integral; cross-check radiances and the
+    energy budget against the general kernel's dense local estimation."""
+    from i3rc_tpu.core.optics import Domain
+    from i3rc_tpu.core.phase_functions import (
+        PhaseFunction, PhaseFunctionTable, henyey_greenstein_coefficients)
+    from i3rc_tpu.integrators.integrator import Integrator
+    from i3rc_tpu.integrators.spectral import domain_with_gas_component
+
+    det = dict(intensity_mus=[0.5, -0.5], intensity_phis=[0.0, 0.0])
+    nz = 4
+    pf = PhaseFunction.from_legendre(henyey_greenstein_coefficients(0.85, 64))
+    table = PhaseFunctionTable.from_phase_functions([pf], key=[1.0])
+    base = Domain.create(np.linspace(0, 500, 3), [0, 500.],
+                         np.linspace(0, 250, nz + 1))
+    ext = (np.array([1.0, 3.0])[:, None, None]
+           * np.full((1, 1, nz), 1.0 / 250.0))
+    base = base.add_component("cloud", ext, np.ones_like(ext),
+                              np.zeros(ext.shape, np.int32), table)
+    dom = domain_with_gas_component(
+        base, np.array([0.5, 0.5, 1.5, 1.5]) / 250.0)
+    cfg = IntegratorConfig(use_ray_tracing=False, max_events=2000,
+                           compute_volume_absorption=False)
+    f = Integrator.create(dom, config=cfg, **det)
+    plan = _plan(f)
+    assert plan is not None and plan.gas_factor is not None
+    assert plan.closed_shadow
+    g = Integrator.create(dom, config=IntegratorConfig(
+        use_ray_tracing=False, max_events=2000,
+        compute_volume_absorption=False, majorant_block_size=4,
+        use_fastpath=False), **det)
+    n = 1 << 15
+    src = PhotonSource.directional(0.5, 0.0)
+    rf = f.batch_fn(src, n)(jax.random.PRNGKey(31))
+    rg = g.batch_fn(src, n)(jax.random.PRNGKey(32))
+    i_f = np.asarray(rf.mean_intensity)
+    i_g = np.asarray(rg.mean_intensity)
+    assert i_f.min() > 0.0
+    np.testing.assert_allclose(i_f, i_g, rtol=0.08)
+    total = float(rf.mean_flux_up + rf.mean_flux_down
+                  + rf.mean_flux_absorbed)
+    assert total == pytest.approx(1.0, abs=1e-4)
+    # Fup is small (~0.04: the gas absorbs most of the beam) so its
+    # per-run MC sigma at 2^15 photons is ~3% — keep this a loose sanity
+    # bound; the radiance agreement above is the real gate.
+    np.testing.assert_allclose(
+        float(rf.mean_flux_up), float(rg.mean_flux_up), rtol=0.12)
