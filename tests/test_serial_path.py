@@ -48,13 +48,17 @@ def _run(dom, n=20_000, intensity=False):
               if intensity else {})
     # use_queued_intensity off: the queued estimator is a one-hot-only
     # specialization, and the comparison here needs both paths to consume
-    # the identical RNG stream.
+    # the identical RNG stream.  Ratio tracking is pinned ON for radiance
+    # runs because Integrator.create auto-enables it on serial-gather
+    # domains with detectors (integrator.py) — pinning it keeps the ref
+    # (one-hot) and serial runs on the same estimator and RNG stream.
     integ = Integrator.create(
         dom,
         config=IntegratorConfig(use_ray_tracing=False, max_events=200,
                                 compute_volume_absorption=True,
                                 majorant_block_size=4, use_fastpath=False,
-                                use_queued_intensity=False),
+                                use_queued_intensity=False,
+                                use_ratio_tracking_for_intensity=intensity),
         surface_albedo=0.3, **kwargs)
     return integ.compute(jax.random.PRNGKey(11),
                          PhotonSource.directional(0.5, 0.0), n)
@@ -97,7 +101,14 @@ def test_serial_path_radiance_matches_onehot(monkeypatch):
 def test_chained_flux_tracer_matches_plain_general():
     """The chained-cycle flux specialization (make_chained_flux_tracer) vs
     the plain event loop: same expectations, different RNG event stream —
-    statistical agreement + exact energy closure on a conservative cloud."""
+    statistical agreement + exact energy closure on a conservative cloud.
+
+    chain=2 / dda_steps=2 deliberately: XLA:CPU's LLVM backend compiles the
+    fully unrolled while-body single-threaded, so compile time scales with
+    chain*dda_steps (chain=4/dda=8 takes many minutes on a 1-core CI box).
+    The small shape is also the BETTER structural test — flights that need
+    more than 2 crossings carry tau_rem/in_flight across cycles, exercising
+    the resume path that large dda_steps budgets rarely hit."""
     rng = np.random.default_rng(3)
     table = PhaseFunctionTable.from_phase_functions(
         [PhaseFunction.from_legendre(henyey_greenstein_coefficients(0.85, 32))],
@@ -110,11 +121,11 @@ def test_chained_flux_tracer_matches_plain_general():
                             np.zeros(ext.shape, np.int32), table)
     n = 60_000
     out = {}
-    for name, ch in (("plain", 1), ("chain", 4)):
+    for name, ch in (("plain", 1), ("chain", 2)):
         integ = Integrator.create(dom, config=IntegratorConfig(
             use_ray_tracing=False, max_events=200,
             compute_volume_absorption=False, majorant_block_size=4,
-            use_fastpath=False, general_chain=ch))
+            use_fastpath=False, general_chain=ch, general_dda_steps=2))
         out[name] = integ.compute(jax.random.PRNGKey(5),
                                   PhotonSource.directional(0.5, 0.0), n)
     d = abs(float(out["plain"].mean_flux_up) - float(out["chain"].mean_flux_up))
