@@ -37,6 +37,8 @@ SLOW_TESTS = [
     "test_fastpath.py::test_volume_absorption_on_fastpath",
     "test_fastpath.py::test_fastpath_matches_general_kernel",
     "test_fastpath.py::test_pallas_event_block_matches_xla_fastpath",
+    "test_fastpath.py::test_pallas_matches_xla_reflecting_surface",
+    "test_fastpath.py::test_pallas_matches_xla_gas_channel",
     "test_fastpath.py::test_column_medium_matches_general_kernel",
     "test_fastpath.py::test_reflecting_surface_on_fastpath",
     "test_fastpath.py::test_tabulated_phase_on_fastpath",

@@ -609,6 +609,70 @@ def test_pallas_event_block_matches_xla_fastpath():
     assert int(rp.n_bad) == 0
 
 
+def test_pallas_matches_xla_reflecting_surface():
+    """A > 0 rides the full Pallas event-block kernel: surface reflection
+    resolves at flush time (eager Fdn tally + Bernoulli revive), outside
+    the event block, so the Mosaic kernel itself stays surface-agnostic.
+    Cross-check both fluxes Pallas-vs-XLA on the step cloud at A=0.4."""
+    n = 1 << 13
+    lanes = 1 << 12
+    src = PhotonSource.directional(0.5, 0.0)
+    xla = _step_cloud(FAST_CFG, surface_albedo=0.4)
+    pal = _step_cloud(IntegratorConfig(use_ray_tracing=False, max_events=500,
+                                       compute_volume_absorption=False,
+                                       majorant_block_size=16,
+                                       use_pallas_fastpath=True),
+                      surface_albedo=0.4)
+    assert _plan(pal) is not None and _plan(pal).surface_albedo == pytest.approx(0.4)
+    rx = xla.batch_fn(src, n, n_lanes=lanes)(jax.random.PRNGKey(15))
+    rp = pal.batch_fn(src, n, n_lanes=lanes)(jax.random.PRNGKey(16))
+    sigma = float(np.sqrt(2 * 0.25 / n))
+    assert float(rp.mean_flux_up) == pytest.approx(float(rx.mean_flux_up),
+                                                   abs=4 * sigma)
+    assert float(rp.mean_flux_down) == pytest.approx(float(rx.mean_flux_down),
+                                                     abs=4 * sigma)
+    assert int(rp.n_bad) == 0
+
+
+def test_pallas_matches_xla_gas_channel():
+    """The factorized gas collision channel inside the Mosaic event block
+    (gas=gas_mode in _build_pallas_block): cross-check fluxes + absorbed
+    weight Pallas-vs-XLA, and the weight budget closes."""
+    from i3rc_tpu.core.optics import Domain
+    from i3rc_tpu.core.phase_functions import (
+        PhaseFunction, PhaseFunctionTable, henyey_greenstein_coefficients)
+    from i3rc_tpu.integrators.integrator import Integrator
+    from i3rc_tpu.integrators.spectral import domain_with_gas_component
+
+    nz = 8
+    pf = PhaseFunction.from_legendre(henyey_greenstein_coefficients(0.85, 64))
+    table = PhaseFunctionTable.from_phase_functions([pf], key=[1.0])
+    base = Domain.create([0, 500.], [0, 500.], np.linspace(0, 250, nz + 1))
+    ext = np.full((1, 1, nz), 1.0 / 250.0)
+    base = base.add_component("cloud", ext, np.ones_like(ext),
+                              np.zeros(ext.shape, np.int32), table)
+    dom = domain_with_gas_component(base, np.full(nz, 0.5 / 250.0))
+    n = 1 << 13
+    lanes = 1 << 12
+    src = PhotonSource.directional(0.5, 0.0)
+    xla = Integrator.create(dom, config=IntegratorConfig(
+        use_ray_tracing=False, max_events=2000,
+        compute_volume_absorption=False))
+    pal = Integrator.create(dom, config=IntegratorConfig(
+        use_ray_tracing=False, max_events=2000,
+        compute_volume_absorption=False, use_pallas_fastpath=True))
+    assert _plan(pal) is not None and _plan(pal).gas_factor is not None
+    rx = xla.batch_fn(src, n, n_lanes=lanes)(jax.random.PRNGKey(25))
+    rp = pal.batch_fn(src, n, n_lanes=lanes)(jax.random.PRNGKey(26))
+    sigma = float(np.sqrt(2 * 0.25 / n))
+    for field in ("mean_flux_up", "mean_flux_down", "mean_flux_absorbed"):
+        assert float(getattr(rp, field)) == pytest.approx(
+            float(getattr(rx, field)), abs=4 * sigma), field
+    total = float(rp.mean_flux_up + rp.mean_flux_down + rp.mean_flux_absorbed)
+    assert total == pytest.approx(1.0, abs=1e-5)
+    assert int(rp.n_bad) == 0
+
+
 def test_column_volume_absorption_matches_general():
     """Volume absorption (heating rates) on COLUMN media: kind-3 deaths
     scatter into the per-cell grid at flush time, so absorbing column
