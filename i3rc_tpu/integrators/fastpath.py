@@ -234,6 +234,28 @@ def detect_hg(table) -> float | None:
 
 
 @dataclass(frozen=True)
+class GasKTables:
+    """Fused spectral-k batching: every k point of a band in ONE dispatch.
+
+    The k-distribution loop's per-k work differs ONLY in the gas absorption
+    profile, so k becomes a per-LANE attribute instead of a per-dispatch
+    one: lanes partition into contiguous blocks (one per k point, sized by
+    quadrature weight), each block traces against its own gas profile read
+    from a tiny (n_k * n_z, 2) one-hot table, and exits tally with the
+    lane-static weight w_k * n_photons / budget_k — the weighted band sum
+    accumulates in a single pass through one executable.  Replaces both the
+    traced-override path (whose traced chain defeats run-length compression
+    — every z layer becomes a segment face) and per-k baked recompiles.
+
+    Reference scope: kDistribution.f95 declares the spectral loop but never
+    finishes it; the lane-batched design has no Fortran analog.
+    """
+
+    profiles: object   # np.ndarray (n_k, n_z): per-layer gas extinction
+    weights: object    # np.ndarray (n_k,): positive quadrature weights
+
+
+@dataclass(frozen=True)
 class FastPlan:
     """Static (host-side) description of one fastpath compilation.
 
@@ -320,6 +342,10 @@ class FastPlan:
     # event instead of up to 24 unrolled DDA steps, exact to float32, and
     # immune to the step-budget eligibility cap (shadow_steps is unused).
     closed_shadow: bool = False
+    # Fused spectral-k batching (see GasKTables): attached by
+    # Integrator.batch_tracer when the integrator was created with gas_k;
+    # requires a gas-channel plan, flux-only, no volume absorption.
+    gas_k: object = None
 
 
 def fast_plan(geom, flat, optics, surface, intensity, config) -> FastPlan | None:
@@ -806,6 +832,73 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
 
         return chain(vals), chain(inv_vals), gas_face
 
+    # ------------------------------------------------------------------
+    # Fused spectral-k batching (see GasKTables): k is a per-LANE attribute.
+    # Transport never stops at gas faces; instead each lane carries the
+    # CUMULATIVE gas optical depth Gz(z) of its own k profile (piecewise
+    # linear in z, so the gas depth of ANY step — however many layers it
+    # crosses — is (Gz(z2) - Gz(z1)) / uz, one tiny one-hot read at the
+    # step endpoint).  The threshold test then runs at step granularity:
+    # strictly equivalent to the per-face consumption in expectation (the
+    # decision points — collisions, boundaries — see the exact traveled
+    # depth), with the death POSITION interpolated within the step
+    # (constant-gz fraction; volume absorption is gated off, so only the
+    # flux_absorbed column key sees the sub-step approximation).
+    # ------------------------------------------------------------------
+    gask_mode = getattr(plan, "gas_k", None) is not None
+    if gask_mode:
+        assert gas_mode, "gas_k requires a gas-channel plan"
+        assert not plan.detectors, "gas_k is flux-only (v1)"
+        assert not getattr(config, "compute_volume_absorption", False), \
+            "gas_k: volume absorption needs exact death positions"
+        from i3rc_tpu.core.illumination import _TOP_Z
+        from i3rc_tpu.ops.gather import read_rows as _read_rows_gk
+
+        _gk_prof = np.asarray(plan.gas_k.profiles, np.float64)   # (n_k, n_z)
+        _gk_w = np.asarray(plan.gas_k.weights, np.float64)
+        n_k = _gk_prof.shape[0]
+        assert _gk_prof.shape == (n_k, n_z) and np.all(_gk_w > 0.0)
+        assert L >= n_k, "need at least one lane per k point"
+        assert n_photons >= n_k, "need at least one photon per k point"
+        dz_gk = float(z_max - z0) / n_z
+        inv_dz_gk = np.float32(n_z / (z_max - z0))
+        _gk_cum = np.concatenate(
+            [np.zeros((n_k, 1)), np.cumsum(_gk_prof * dz_gk, axis=1)], axis=1)
+        gk_table = jnp.asarray(
+            np.stack([_gk_prof, _gk_cum[:, :n_z]], axis=-1)
+            .reshape(n_k * n_z, 2).astype(np.float32))
+        # Lane partition: contiguous per-k blocks sized by weight (>= 1).
+        _frac = _gk_w / _gk_w.sum()
+        gk_counts = np.maximum(1, np.floor(_frac * L).astype(np.int64))
+        for _ in range(int(L - gk_counts.sum())):
+            gk_counts[np.argmax(_frac * L - gk_counts)] += 1
+        while gk_counts.sum() > L:
+            gk_counts[np.argmax(gk_counts)] -= 1
+        gk_starts = np.concatenate([[0], np.cumsum(gk_counts)[:-1]])
+        # Per-k photon budgets: exact partition of n_photons by weight.
+        gk_budget = np.maximum(1, np.floor(_frac * n_photons).astype(np.int64))
+        for _ in range(int(n_photons - gk_budget.sum())):
+            gk_budget[np.argmax(_frac * n_photons - gk_budget)] += 1
+        while gk_budget.sum() > n_photons:
+            gk_budget[np.argmax(gk_budget)] -= 1
+        # Lane-static vectors: k row offset, tally weight, launch-G, budget.
+        k_idx_np = np.repeat(np.arange(n_k), gk_counts)
+        gk_row_off = jnp.asarray((k_idx_np * n_z).astype(np.int32))
+        gk_lane_w = jnp.asarray(
+            (_gk_w * n_photons / gk_budget)[k_idx_np].astype(np.float32))
+        _zl = z0 + float(_TOP_Z) * (z_max - z0)
+        _ll = min(int((_zl - z0) / dz_gk), n_z - 1)
+        _gl_k = _gk_cum[:, _ll] + (_zl - (z0 + _ll * dz_gk)) * _gk_prof[:, _ll]
+        gk_launch_G = jnp.asarray(_gl_k[k_idx_np].astype(np.float32))
+        gk_budget_lane = jnp.asarray(gk_budget[k_idx_np].astype(np.int32))
+        gk_rank0 = jnp.asarray(
+            (np.arange(L) - gk_starts[k_idx_np]).astype(np.int32))
+        gk_counts_t = np.asarray(gk_counts, np.int32)
+        gk_starts_idx = jnp.asarray(gk_starts.astype(np.int32))
+        gk_slices = [(int(s), int(s + c))
+                     for s, c in zip(gk_starts, gk_counts)]
+        n_photons_total = int(gk_budget.sum())
+
     def wrap_fast(v, lo, hi):
         """Periodic wrap for positions at most one event-step outside."""
         w = hi - lo
@@ -1024,8 +1117,11 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
     # ~1/3 of a full event's vector cost per bonus phase; for column media
     # chained collisions skip the dominant per-event one-hot column read.
     # Radiance detectors disable chaining (every collision needs its shadow
-    # traces, which dominate that path anyway).
-    CHAIN = 0 if D else max(0, int(getattr(config, "fastpath_chain", 2)))
+    # traces, which dominate that path anyway).  gas_k disables it too: a
+    # bonus move crosses gas layers, so each phase would need its own
+    # endpoint read — the chain's saving inverts.
+    CHAIN = 0 if (D or gask_mode) else max(
+        0, int(getattr(config, "fastpath_chain", 2)))
     bonus_draws = 4 if absorbing else 3
     bonus_base = n_draws
     n_draws += CHAIN * bonus_draws
@@ -1037,8 +1133,12 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
         if gas_mode:
             tgas = st[idx_extra]
             idx_extra += 1
-            gz_fn, inv_gz_fn, gas_face = gas if gas is not None \
-                else make_gas_eval()
+            if gask_mode:
+                gcur = st[idx_extra]     # cumulative gas depth Gz(z), per k
+                idx_extra += 1
+            else:
+                gz_fn, inv_gz_fn, gas_face = gas if gas is not None \
+                    else make_gas_eval()
         tau_rem = jnp.where(tau_rem > 0.0, tau_rem, exponential_deviate(u[0]))
 
         # Exact local extinction (constant within the current segment box)
@@ -1096,10 +1196,11 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
                 face_z = fz.next_face(z, up_z, z0, z_max)
                 if track_y:
                     face_y = fy.next_face(y, up_y, y0, y_max)
-            if gas_mode:
+            if gas_mode and not gask_mode:
                 # Steps also stop at gas-segment faces so gz is constant
                 # along the step; the gas channel competes as a third
-                # outcome (below).
+                # outcome (below).  (gas_k never stops at gas faces — its
+                # consumption is the closed-form cumulative difference.)
                 gzv = gz_fn(z)
                 face_zg = gas_face(z, up_z)
                 face_z = jnp.where(up_z, jnp.minimum(face_z, face_zg),
@@ -1117,7 +1218,7 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
             else:
                 s_col = jnp.where(ext > 0.0, tau_rem * inv_ext, _HUGE)
 
-            if gas_mode:
+            if gas_mode and not gask_mode:
                 s_gas = jnp.where(gzv > 0.0, tgas * inv_gz_fn(z), _HUGE)
                 collide_m = moving & (s_col <= s_bnd) & (s_col <= s_gas)
                 gas_die = moving & ~collide_m & (s_gas <= s_bnd)
@@ -1143,6 +1244,36 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
                 nyp = jnp.where(cross & (sy <= s_bnd), face_y + sign_y, nyp)
                 nyp = wrap_fast(nyp, y0, y_max)
 
+            if gask_mode:
+                # Per-k gas consumption over the WHOLE step, closed form:
+                # one endpoint read of (gz, cum) gives Gz(z2); the traveled
+                # gas depth is (Gz(z2) - Gz(z1)) / uz regardless of how
+                # many gas layers the step crossed.  Threshold crossings
+                # die mid-step at the constant-gz interpolated fraction.
+                z_end = jnp.clip(nzp, jnp.float32(z0), jnp.float32(z_max))
+                lay2 = jnp.clip(((z_end - z0) * inv_dz_gk).astype(jnp.int32),
+                                0, n_z - 1)
+                grow = _read_rows_gk(gk_table, gk_row_off + lay2)
+                g2 = grow[:, 0]
+                g_next = grow[:, 1] + (
+                    z_end - (jnp.float32(z0)
+                             + lay2.astype(jnp.float32) * jnp.float32(dz_gk))
+                ) * g2
+                dgas = jnp.where(jnp.abs(uz) >= 1e-6,
+                                 (g_next - gcur) / uz, g2 * adv)
+                dgas = jnp.maximum(dgas, 0.0)
+                gas_die = moving & (dgas >= tgas)
+                fdie = jnp.clip(tgas / jnp.maximum(dgas, TINY), 0.0, 1.0)
+                xd = wrap_fast(x + ux * adv * fdie, x0, x_max)
+                zd = z + uz * adv * fdie
+                if track_y:
+                    yd = wrap_fast(y + uy * adv * fdie, y0, y_max)
+                collide_m = collide_m & ~gas_die
+                cross = cross & ~gas_die
+                surv = moving & ~gas_die
+                tgas = jnp.where(surv, tgas - dgas, tgas)
+                gcur = jnp.where(surv, g_next, gcur)
+
             exit_top = cross & (nzp >= z_max)
             exit_bot = cross & ~exit_top & (nzp <= z0)
             # Bottom arrivals pend as kind 2 regardless of the surface: for
@@ -1157,10 +1288,16 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
             # stop AT the collision, exiting lanes AT the (wrapped) boundary
             # point — the flush derives the tally column from the frozen
             # position, so no per-event column index is computed here.
-            x = jnp.where(moving, nxp, x)
-            z = jnp.where(moving, nzp, z)
-            if track_y:
-                y = jnp.where(moving, nyp, y)
+            if gask_mode:
+                x = jnp.where(gas_die, xd, jnp.where(moving, nxp, x))
+                z = jnp.where(gas_die, zd, jnp.where(moving, nzp, z))
+                if track_y:
+                    y = jnp.where(gas_die, yd, jnp.where(moving, nyp, y))
+            else:
+                x = jnp.where(moving, nxp, x)
+                z = jnp.where(moving, nzp, z)
+                if track_y:
+                    y = jnp.where(moving, nyp, y)
             collided = collided | collide_m
             moving = cross & ~exit_top & ~exit_bot
 
@@ -1307,7 +1444,8 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
         evct = evct + alive.astype(jnp.int32)
         alive = alive & (pk == 0) & ~over
         return ((alive, x, y, z, ux, uy, uz, tau_rem, orders, pk, bad, evct,
-                 acc_int) + ((tgas,) if gas_mode else ()))
+                 acc_int) + ((tgas,) if gas_mode else ())
+                + ((gcur,) if gask_mode else ()))
 
     # ------------------------------------------------------------------
     # Pallas event-block: K events per HBM round-trip.  The XLA fastpath
@@ -1323,8 +1461,11 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
     want_pallas = config.use_pallas_fastpath
     if want_pallas is None:
         want_pallas = jax.default_backend() == "tpu"
+    # gas_k stays on the XLA fastpath: its per-lane one-hot endpoint read
+    # inside the Mosaic kernel would re-create the tiny-dot chains that
+    # killed pallas take one (PERF_NOTES.md).
     use_pallas = (want_pallas and D == 0 and not column_mode
-                  and not table_mode and L % 1024 == 0)
+                  and not table_mode and not gask_mode and L % 1024 == 0)
     if use_pallas:
         import os
         pallas_block = _build_pallas_block(
@@ -1359,6 +1500,10 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
         kinds = [(pk == 1), (pk == 2)] + (
             [(pk == 3)] if absorbing or gas_mode else [])
         vals = jnp.stack([k.astype(jnp.float32) for k in kinds], axis=1)
+        if gask_mode:
+            # Lane-static spectral weight w_k * n_photons / budget_k: the
+            # tallies accumulate the weighted band sum directly.
+            vals = vals * gk_lane_w[:, None]
         if vol_tally:
             iz = jnp.clip(((z - z0) * inv_dz_cell).astype(jnp.int32),
                           0, n_z - 1)
@@ -1381,6 +1526,9 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
 
     def trace(key, batch, source=None, optics_override=None):
         if optics_override is not None:
+            if gask_mode:
+                raise ValueError("gas_k fused spectral batching bakes every "
+                                 "k profile; optics overrides don't apply")
             if not gas_mode:
                 raise ValueError("fastpath bakes optics statically; only "
                                  "the gas channel takes overrides")
@@ -1436,8 +1584,15 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
         z = z0 + batch.z * (z_max - z0)
         ux, uy, uz = make_direction_cosines(batch.mu, batch.phi)
         lane_ids = jnp.arange(L, dtype=jnp.int32)
-        alive = lane_ids < n_photons
-        launched = jnp.int32(min(L, n_photons))
+        if gask_mode:
+            # Per-k budgets: lane i launches iff its within-block rank fits
+            # its k point's photon quota; `launched` is the (n_k,) count.
+            alive = gk_rank0 < gk_budget_lane
+            launched = jnp.asarray(
+                np.minimum(gk_counts, gk_budget).astype(np.int32))
+        else:
+            alive = lane_ids < n_photons
+            launched = jnp.int32(min(L, n_photons))
         zeros_i = jnp.zeros(L, jnp.int32)
         columns = jnp.zeros((n_cols, 3 if absorbing or gas_mode else 2),
                             jnp.float32)
@@ -1450,6 +1605,8 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
              bad, evct, acc_int) = st[:13]
             if gas_mode:
                 tgas = st[13]
+            if gask_mode:
+                gcur = st[14]
             # Per-block direction renormalization: the event step skips the
             # per-rotation rsqrt (rotate_direction(renormalize=False)), so
             # f32 drift (~1e-7/rotation) is squeezed out here, once per K
@@ -1505,7 +1662,45 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
                 z = jnp.where(revive, z0 + nudge_z, z)
                 orders = jnp.where(revive, orders + 1, orders)
                 alive = alive | revive
-            if n_photons > L:
+                if gask_mode:
+                    # Revived lanes sit at the surface: Gz(z0) == 0.
+                    gcur = jnp.where(revive, 0.0, gcur)
+            if gask_mode:
+                # Per-k quota refill: rank each dead lane within its k
+                # block (exclusive cumsum rebased at the static block
+                # starts) and admit while that k point's photon budget
+                # lasts — the spectral allocation stays exactly
+                # weight-proportional even though per-k lifetimes differ
+                # (strongly absorbing k points recycle lanes faster).
+                dead = ~alive
+                dead_i = dead.astype(jnp.int32)
+                cs_excl = jnp.cumsum(dead_i) - dead_i
+                base = jnp.take(cs_excl, gk_starts_idx)
+                rank = cs_excl - jnp.repeat(base, gk_counts_t,
+                                            total_repeat_length=L)
+                launched_lane = jnp.repeat(launched, gk_counts_t,
+                                           total_repeat_length=L)
+                refill = dead & (launched_lane + rank < gk_budget_lane)
+                fresh = source.sample(jax.random.fold_in(key, -kb - 1), L)
+                x = jnp.where(refill, x0 + fresh.x * (x_max - x0), x)
+                y = jnp.where(refill, y0 + fresh.y * (y_max - y0), y)
+                z = jnp.where(refill, z0 + fresh.z * (z_max - z0), z)
+                fux, fuy, fuz = make_direction_cosines(fresh.mu, fresh.phi)
+                ux = jnp.where(refill, fux, ux)
+                uy = jnp.where(refill, fuy, uy)
+                uz = jnp.where(refill, fuz, uz)
+                tau_rem = jnp.where(refill, 0.0, tau_rem)
+                orders = jnp.where(refill, 0, orders)
+                u_g = jax.random.uniform(
+                    jax.random.fold_in(key, -kb - 1 - (1 << 24)), (L,),
+                    dtype=jnp.float32)
+                tgas = jnp.where(refill, exponential_deviate(u_g), tgas)
+                gcur = jnp.where(refill, gk_launch_G, gcur)
+                refill_i = refill.astype(jnp.int32)
+                launched = launched + jnp.stack(
+                    [jnp.sum(refill_i[s:e]) for s, e in gk_slices])
+                alive = alive | refill
+            elif n_photons > L:
                 # (Measured: gating this behind lax.cond(launched < n) to
                 # skip the drain-phase cumsum COSTS ~15% — the cond's tensor
                 # operand copies outweigh the saved work.  Keep it inline.)
@@ -1531,7 +1726,8 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
                 launched = launched + jnp.sum(refill.astype(jnp.int32))
                 alive = alive | refill
             st = (alive, x, y, z, ux, uy, uz, tau_rem, orders, pk,
-                  bad, evct, acc_int) + ((tgas,) if gas_mode else ())
+                  bad, evct, acc_int) + ((tgas,) if gas_mode else ()) \
+                + ((gcur,) if gask_mode else ())
             if use_pallas and pallas_ok:
                 kd = jax.lax.bitcast_convert_type(
                     jax.random.key_data(jax.random.fold_in(key, kb)),
@@ -1551,7 +1747,9 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
 
         def cond(carry):
             kb, launched, st, _, _, _ = carry
-            live = jnp.any(st[0]) | (launched < n_photons)
+            budget_open = (jnp.sum(launched) < n_photons_total if gask_mode
+                           else launched < n_photons)
+            live = jnp.any(st[0]) | budget_open
             if reflecting:
                 # Paused bottom hits await their flush-time Bernoulli.
                 live = live | jnp.any(st[9] == 2)
@@ -1572,6 +1770,8 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
             tgas0 = exponential_deviate(jax.random.uniform(
                 jax.random.fold_in(key, 0xB0000000), (L,), dtype=jnp.float32))
             st = st + (tgas0,)
+        if gask_mode:
+            st = st + (gk_launch_G,)
         kb, launched, st, columns, vol, srf_acc = jax.lax.while_loop(
             cond, body, (jnp.int32(0), launched, st, columns, vol, srf0))
         columns, vol, _ = flush(columns, vol, st[9], st[1], st[2], st[3])

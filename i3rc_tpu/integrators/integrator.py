@@ -139,14 +139,26 @@ class Integrator:
     _surface_albedo: float
     _intensity_mus: object
     _intensity_phis: object
+    # Fused spectral-k batching (fastpath.GasKTables): (profiles, weights)
+    # with profiles (n_k, n_z).  Set via create(gas_k=...); requires a
+    # gas-channel fastpath plan.  See integrators/spectral.py run_band.
+    _gas_k: object = None
 
     # ------------------------------------------------------------------
     @staticmethod
     def create(domain: Domain, config: IntegratorConfig | None = None,
                surface_albedo: float = 0.0,
                surface: SurfaceDescription | None = None,
-               intensity_mus=None, intensity_phis=None) -> "Integrator":
-        """new_Integrator + specifyParameters in one constructor."""
+               intensity_mus=None, intensity_phis=None,
+               gas_k=None) -> "Integrator":
+        """new_Integrator + specifyParameters in one constructor.
+
+        ``gas_k=(profiles, weights)`` with profiles (n_k, n_z) enables fused
+        spectral-k batching: the domain must carry the gas-channel shape
+        (spectral.domain_with_gas_component) and the workload must be
+        flux-only — every k point of the band then traces in one dispatch
+        (fastpath.GasKTables).
+        """
         config = (config or IntegratorConfig()).validate()
         s = Status()
         s.fail_if(surface is not None and surface_albedo != 0.0,
@@ -164,6 +176,20 @@ class Integrator:
                       "intensityMus can't be 0 (directly sideways)")
             s.fail_if(bool(np.any((phis < 0.0) | (phis > 360.0))),
                       "intensityPhis must be between 0 and 360")
+        if gas_k is not None:
+            prof_k = np.asarray(gas_k[0], np.float64)
+            w_k = np.atleast_1d(np.asarray(gas_k[1], np.float64))
+            n_z_dom = len(domain.z_edges) - 1
+            s.fail_if(prof_k.ndim != 2 or prof_k.shape[1] != n_z_dom,
+                      "gas_k profiles must be (n_k, n_z)")
+            s.fail_if(prof_k.ndim == 2 and prof_k.shape[0] != w_k.size,
+                      "gas_k profiles and weights disagree on n_k")
+            s.fail_if(bool(np.any(w_k <= 0.0)), "gas_k weights must be > 0")
+            s.fail_if(bool(np.any(prof_k < 0.0)),
+                      "gas_k profiles must be non-negative")
+            s.fail_if(intensity_mus is not None,
+                      "gas_k spectral batching is flux-only")
+            gas_k = (prof_k, w_k)
         s.check("Integrator.create")
 
         flat = flatten_optics(domain)
@@ -260,6 +286,7 @@ class Integrator:
             _domain=domain, _surface_arg=surface, _surface_albedo=float(surface_albedo),
             _intensity_mus=None if intensity_mus is None else np.asarray(intensity_mus),
             _intensity_phis=None if intensity_phis is None else np.asarray(intensity_phis),
+            _gas_k=gas_k,
         )
 
     # ------------------------------------------------------------------
@@ -283,7 +310,8 @@ class Integrator:
         phis = other.get("intensity_phis", self._intensity_phis)
         return Integrator.create(self._domain, config=replace(self.config, **cfg_updates),
                                  surface_albedo=albedo, surface=surface,
-                                 intensity_mus=mus, intensity_phis=phis)
+                                 intensity_mus=mus, intensity_phis=phis,
+                                 gas_k=self._gas_k)
 
     @property
     def is_ready(self) -> bool:
@@ -316,6 +344,33 @@ class Integrator:
                                     coarse_geom=self.coarse_geometry)
         plan = fast_plan(self.geometry, self._flat, self.optics, self.surface,
                          self.intensity, self.config)
+        if self._gas_k is not None:
+            # Fused spectral-k batching: the whole band in one dispatch.
+            # Requires the gas-channel fastpath shape — fail loudly rather
+            # than silently tracing only the k=0 profile on a fallback.
+            from dataclasses import replace as _replace
+
+            from i3rc_tpu.integrators.fastpath import GasKTables
+            if plan is None or plan.gas_factor is None:
+                raise ValueError(
+                    "gas_k spectral batching requires a gas-channel "
+                    "fastpath plan (separable cloud + horizontally uniform "
+                    "pure-absorber component; see fastpath.fast_plan)")
+            if self.config.compute_volume_absorption:
+                raise ValueError("gas_k spectral batching cannot tally "
+                                 "volume absorption (sub-step death "
+                                 "positions); use bake_fastpath instead")
+            plan = _replace(plan, gas_k=GasKTables(*self._gas_k))
+            fast = make_fast_tracer(self.geometry, plan, self.config,
+                                    n_photons, n_lanes)
+
+            def trace_k(key, batch, source=None, optics_override=None):
+                if optics_override is not None:
+                    raise ValueError("gas_k batching bakes every k profile; "
+                                     "optics overrides don't apply")
+                return fast(key, batch, source)
+
+            return trace_k
         if plan is None:
             return general
         fast = make_fast_tracer(self.geometry, plan, self.config, n_photons, n_lanes)

@@ -58,7 +58,7 @@ class BandResult:
 def run_band(integrator: Integrator, base_domain: Domain, kdist: KDistribution,
              source, n_photons_per_batch, n_batches, seed=10, mesh=None,
              derive=None, derive_token=None, bake_fastpath=False,
-             integrator_cache: dict | None = None):
+             integrator_cache: dict | None = None, fuse_k=False):
     """All k points of one band through the band integrator's executable.
 
     ``bake_fastpath=True`` instead builds ONE Integrator per k point, so
@@ -68,8 +68,42 @@ def run_band(integrator: Integrator, base_domain: Domain, kdist: KDistribution,
     fastpath").  The cost is one compile per distinct k point; pass a
     long-lived ``integrator_cache`` dict so repeated band runs (production
     spectral loops, benchmark steady state) reuse the executables.
+
+    ``fuse_k=True`` traces EVERY k point of the band in one dispatch
+    through one executable (fastpath.GasKTables): k becomes a per-lane
+    attribute, lanes partition by quadrature weight with exact per-k
+    photon quotas, and the tallies accumulate the weighted band sum
+    directly.  Flux-only (no detectors, no volume absorption).  The
+    returned BandResult.mean is the band mean as usual; per_k is empty
+    (individual k-point statistics are not separated — each batch is a
+    full weighted-band sample, so batch statistics measure the band
+    mean's stderr, which is what the broadband loop propagates).
     """
     profiles = kdist.absorption_profiles_on(np.asarray(base_domain.z_edges))
+    if fuse_k:
+        if integrator.intensity is not None:
+            raise ValueError("fuse_k is flux-only; use bake_fastpath or the "
+                             "traced-override loop for radiance bands")
+        if getattr(integrator.config, "compute_volume_absorption", False):
+            raise ValueError("fuse_k cannot tally volume absorption; use "
+                             "bake_fastpath for heating-rate bands")
+        cache = integrator_cache if integrator_cache is not None else {}
+        ckey = ("fused", id(kdist), id(base_domain))
+        integ_f = cache.get(ckey)
+        if integ_f is None:
+            dom_0 = domain_with_gas_component(base_domain, profiles[:, 0])
+            integ_f = Integrator.create(
+                dom_0, config=integrator.config,
+                surface_albedo=integrator._surface_albedo,
+                surface=integrator._surface_arg,
+                gas_k=(profiles.T, kdist.weights))
+            cache[ckey] = integ_f
+        stats = run_batches(integ_f, source, n_photons_per_batch, n_batches,
+                            seed=seed, mesh=mesh, derive=derive,
+                            derive_token=derive_token)
+        return BandResult(mean=stats.mean, per_k=[],
+                          wavelength_limits=kdist.wavelength_limits,
+                          spectral_fraction=kdist.spectral_fraction)
     per_k = []
     mean_accum = None
     for k in range(kdist.n_k):
@@ -113,7 +147,8 @@ def run_broadband(base_domain: Domain, k_distributions, source,
                   mesh=None, config=None, surface_albedo: float = 0.0,
                   surface=None, intensity_mus=None, intensity_phis=None,
                   band_domains=None, derive=None, derive_token=None,
-                  bake_fastpath=False, integrator_cache: dict | None = None):
+                  bake_fastpath=False, integrator_cache: dict | None = None,
+                  fuse_k=False):
     """The broadband driver: spectral loop over bands and k points.
 
     ``band_domains`` optionally supplies a per-band Domain (per-band cloud
@@ -139,7 +174,7 @@ def run_broadband(base_domain: Domain, k_distributions, source,
                         n_batches, seed=seed + 100000 * b, mesh=mesh,
                         derive=derive, derive_token=derive_token,
                         bake_fastpath=bake_fastpath,
-                        integrator_cache=integrator_cache)
+                        integrator_cache=integrator_cache, fuse_k=fuse_k)
         results.append(band)
         contrib = jax.tree.map(lambda a: a * band.spectral_fraction, band.mean)
         broadband = contrib if broadband is None else jax.tree.map(

@@ -121,3 +121,72 @@ def test_broadband_bake_fastpath_matches_traced():
     f_t = float(np.asarray(traced.mean.flux_up).mean())
     sigma = float(np.sqrt(2 * 0.4 * 0.6 / (2 * n * 2)))
     assert f_b == pytest.approx(f_t, abs=4 * sigma)
+
+
+def test_broadband_fuse_k_matches_baked():
+    """run_band(fuse_k=True): the whole band in ONE dispatch (k as a
+    per-lane attribute, fastpath.GasKTables) agrees with the per-k baked
+    fastpath loop on every flux component and closes energy exactly.
+    Different RNG streams and lane partitions, so agreement is
+    statistical."""
+    from i3rc_tpu.core.illumination import PhotonSource
+    from i3rc_tpu.integrators.integrator import Integrator
+    from i3rc_tpu.integrators.spectral import (
+        domain_with_gas_component,
+        run_band,
+    )
+    from i3rc_tpu.models.step_cloud import make_step_cloud
+
+    dom = make_step_cloud(1.0)
+    z = np.asarray(dom.z_edges)
+    kd = KDistribution.create(
+        z, np.broadcast_to([[4e-4], [4e-3], [2e-2]], (3, 32)).T.copy(),
+        [0.5, 0.3, 0.2], spectral_fraction=1.0)
+    src = PhotonSource.directional(0.5, 0.0)
+    cfg = IntegratorConfig(use_ray_tracing=False, max_events=500,
+                           compute_volume_absorption=False,
+                           majorant_block_size=16)
+    integ = Integrator.create(
+        domain_with_gas_component(dom, kd.absorption_profiles_on(z)[:, 0]),
+        config=cfg)
+    n = 1 << 13
+    baked = run_band(integ, dom, kd, src, n, 2, seed=5,
+                     bake_fastpath=True, integrator_cache={})
+    fused = run_band(integ, dom, kd, src, n, 2, seed=7, fuse_k=True,
+                     integrator_cache={})
+    sigma = float(np.sqrt(2 * 0.4 * 0.6 / (2 * n * 2)))
+    for field in ("flux_up", "flux_down", "flux_absorbed"):
+        f_b = float(np.asarray(getattr(baked.mean, field)).mean())
+        f_f = float(np.asarray(getattr(fused.mean, field)).mean())
+        assert f_f == pytest.approx(f_b, abs=4 * sigma), field
+    closure = sum(float(np.asarray(getattr(fused.mean, f)).mean())
+                  for f in ("flux_up", "flux_down", "flux_absorbed"))
+    assert closure == pytest.approx(1.0, rel=1e-5)
+
+
+def test_fuse_k_rejects_radiance_and_absorption():
+    """fuse_k guards: flux-only, no volume absorption, no overrides."""
+    from i3rc_tpu.core.illumination import PhotonSource
+    from i3rc_tpu.integrators.integrator import Integrator
+    from i3rc_tpu.integrators.spectral import (
+        domain_with_gas_component,
+        run_band,
+    )
+    from i3rc_tpu.models.step_cloud import make_step_cloud
+
+    dom = make_step_cloud(1.0)
+    z = np.asarray(dom.z_edges)
+    kd = KDistribution.create(
+        z, np.broadcast_to([[4e-4, 4e-3]], (32, 2)).copy(), [0.7, 0.3])
+    src = PhotonSource.directional(0.5, 0.0)
+    dom_gas = domain_with_gas_component(dom, kd.absorption_profiles_on(z)[:, 0])
+    integ_rad = Integrator.create(
+        dom_gas, config=IntegratorConfig(use_ray_tracing=False),
+        intensity_mus=[0.9], intensity_phis=[0.0])
+    with pytest.raises(ValueError, match="flux-only"):
+        run_band(integ_rad, dom, kd, src, 1 << 10, 1, fuse_k=True)
+    integ_abs = Integrator.create(
+        dom_gas, config=IntegratorConfig(use_ray_tracing=False,
+                                         compute_volume_absorption=True))
+    with pytest.raises(ValueError, match="volume absorption"):
+        run_band(integ_abs, dom, kd, src, 1 << 10, 1, fuse_k=True)
