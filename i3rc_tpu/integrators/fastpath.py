@@ -246,6 +246,10 @@ class GasKTables:
     accumulates in a single pass through one executable.  Replaces both the
     traced-override path (whose traced chain defeats run-length compression
     — every z layer becomes a segment face) and per-k baked recompiles.
+    Radiance detectors are supported on closed-shadow-eligible plans: the
+    cloud shadow tau is closed-form as usual, and each lane adds its OWN k
+    profile's gas tau from the cumulative Gz it already carries —
+    (Gz(exit) - Gz(z)) / dz_d, one subtract per detector per collision.
 
     Reference scope: kDistribution.f95 declares the spectral loop but never
     finishes it; the lane-batched design has no Fortran analog.
@@ -344,7 +348,9 @@ class FastPlan:
     closed_shadow: bool = False
     # Fused spectral-k batching (see GasKTables): attached by
     # Integrator.batch_tracer when the integrator was created with gas_k;
-    # requires a gas-channel plan, flux-only, no volume absorption.
+    # requires a gas-channel plan, no volume absorption.  Radiance
+    # detectors ride the closed shadow trace (cloud tau closed-form, gas
+    # tau from the carried per-k cumulative).
     gas_k: object = None
 
 
@@ -848,7 +854,12 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
     gask_mode = getattr(plan, "gas_k", None) is not None
     if gask_mode:
         assert gas_mode, "gas_k requires a gas-channel plan"
-        assert not plan.detectors, "gas_k is flux-only (v1)"
+        # Detectors ride the closed shadow trace (fast_plan returns None for
+        # gas plans without closed-trace eligibility): the cloud tau comes
+        # from shadow_closed, the per-lane-k gas tau from the carried
+        # cumulative Gz — see the detector block in fast_event.
+        assert not plan.detectors or plan.closed_shadow, \
+            "gas_k detectors require the closed shadow trace"
         assert not getattr(config, "compute_volume_absorption", False), \
             "gas_k: volume absorption needs exact death positions"
         from i3rc_tpu.core.illumination import _TOP_Z
@@ -886,6 +897,10 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
         gk_row_off = jnp.asarray((k_idx_np * n_z).astype(np.int32))
         gk_lane_w = jnp.asarray(
             (_gk_w * n_photons / gk_budget)[k_idx_np].astype(np.float32))
+        # Per-lane TOTAL gas column Gz(z_max): shadow rays to the top carry
+        # (Gz(z_max) - Gz(z)) / dzd of per-k gas; to the bottom, Gz(z)/|dzd|.
+        gk_gtop_lane = jnp.asarray(
+            _gk_cum[:, n_z][k_idx_np].astype(np.float32))
         _zl = z0 + float(_TOP_Z) * (z_max - z0)
         _ll = min(int((_zl - z0) / dz_gk), n_z - 1)
         _gl_k = _gk_cum[:, _ll] + (_zl - (z0 + _ll * dz_gk)) * _gk_prof[:, _ll]
@@ -1002,8 +1017,10 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
         # vertical closed-form segments (no horizontal factor) to every
         # shadow trace — the reference integrates TOTAL extinction along
         # the path (accumulateExtinctionAlongPath sums all components,
-        # monteCarloRadiativeTransfer.f95:1654-1807).
-        if gas_mode:
+        # monteCarloRadiativeTransfer.f95:1654-1807).  Fused-k plans skip
+        # the BAKED segments: each lane adds its own k profile's gas tau
+        # from the carried cumulative (detector block in fast_event).
+        if gas_mode and not gask_mode:
             _gf = plan.gas_factor
             _g_seg_lo = (float(z0),) + _gf.thresholds
             _g_seg_hi = _gf.thresholds + (float(z_max),)
@@ -1062,7 +1079,7 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
                 else:
                     seg = t_hi - t_lo
                 tau = tau + jnp.float32(v) * jnp.maximum(seg, 0.0)
-            if gas_mode:
+            if gas_mode and not gask_mode:
                 for zl, zh, v in zip(_g_seg_lo, _g_seg_hi, _g_vals):
                     if v <= 0.0:
                         continue
@@ -1337,7 +1354,19 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
                     norm_pf = hg_phase(plan.hg_g, proj) * jnp.float32(
                         1.0 / (4.0 * np.pi * amu))
                 tau_d, col_d, ok = shadow_fn(d, collided, x, pos_y, z)
+                if gask_mode:
+                    # Per-lane-k gas along the shadow ray, closed form from
+                    # the carried cumulative: (Gz(exit) - Gz(z)) / dzd with
+                    # Gz(z0) = 0 — gcur is Gz at the frozen collision point.
+                    g_exit = gk_gtop_lane if dzd > 0.0 else 0.0
+                    tau_d = tau_d + jnp.maximum(
+                        (g_exit - gcur) * jnp.float32(1.0 / dzd), 0.0)
                 contrib = jnp.where(ok, norm_pf * jnp.exp(-tau_d), 0.0)
+                if gask_mode:
+                    # Spectral weight w_k * n_photons / budget_k, same as
+                    # the flux tallies (flush): the detector fields
+                    # accumulate the weighted band sum directly.
+                    contrib = contrib * gk_lane_w
                 vals = jnp.stack([contrib if j == d else jnp.zeros_like(contrib)
                                   for j in range(D)], axis=1)
                 acc_int = tally_multi(acc_int, col_d, vals)
@@ -1646,9 +1675,16 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
                             continue
                         tau_d, col_d, okd = shadow_fn(d, revive, x,
                                                       pos_ys, zs)
+                        if gask_mode:
+                            # Revived lanes sit at the surface: the per-k
+                            # gas tau to the top is the full column.
+                            tau_d = tau_d + gk_gtop_lane * jnp.float32(
+                                1.0 / plan.detectors[d][2])
                         contrib = jnp.where(
                             okd, jnp.float32(1.0 / np.pi) * jnp.exp(-tau_d),
                             0.0)
+                        if gask_mode:
+                            contrib = contrib * gk_lane_w
                         vals = jnp.stack(
                             [contrib if j == d else jnp.zeros_like(contrib)
                              for j in range(D)], axis=1)

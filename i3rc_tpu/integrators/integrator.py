@@ -155,9 +155,10 @@ class Integrator:
 
         ``gas_k=(profiles, weights)`` with profiles (n_k, n_z) enables fused
         spectral-k batching: the domain must carry the gas-channel shape
-        (spectral.domain_with_gas_component) and the workload must be
-        flux-only — every k point of the band then traces in one dispatch
-        (fastpath.GasKTables).
+        (spectral.domain_with_gas_component); every k point of the band
+        then traces in one dispatch (fastpath.GasKTables).  Fluxes and
+        radiance detectors are supported (detectors need closed-shadow
+        eligibility); volume absorption is not.
         """
         config = (config or IntegratorConfig()).validate()
         s = Status()
@@ -187,8 +188,6 @@ class Integrator:
             s.fail_if(bool(np.any(w_k <= 0.0)), "gas_k weights must be > 0")
             s.fail_if(bool(np.any(prof_k < 0.0)),
                       "gas_k profiles must be non-negative")
-            s.fail_if(intensity_mus is not None,
-                      "gas_k spectral batching is flux-only")
             gas_k = (prof_k, w_k)
         s.check("Integrator.create")
 
@@ -355,7 +354,10 @@ class Integrator:
                 raise ValueError(
                     "gas_k spectral batching requires a gas-channel "
                     "fastpath plan (separable cloud + horizontally uniform "
-                    "pure-absorber component; see fastpath.fast_plan)")
+                    "pure-absorber component; radiance detectors "
+                    "additionally need closed-shadow eligibility — at most "
+                    "one varying horizontal factor and |mu_d| > 1e-6; see "
+                    "fastpath.fast_plan)")
             if self.config.compute_volume_absorption:
                 raise ValueError("gas_k spectral batching cannot tally "
                                  "volume absorption (sub-step death "

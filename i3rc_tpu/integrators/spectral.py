@@ -53,6 +53,13 @@ class BandResult:
     per_k: list           # list of BatchStats per k point
     wavelength_limits: tuple
     spectral_fraction: float
+    # Standard error of the band mean, pytree matching `mean` (the
+    # reference's (value, StdErr) statistical contract,
+    # monteCarloDriver.f95:358-378).  Per-k modes combine independent
+    # k-point runs as sqrt(sum_k (w_k se_k)^2); the fused mode's batches
+    # are full weighted-band samples, so run_batches' stderr IS the band
+    # stderr.
+    stderr: object = None
 
 
 def run_band(integrator: Integrator, base_domain: Domain, kdist: KDistribution,
@@ -73,39 +80,48 @@ def run_band(integrator: Integrator, base_domain: Domain, kdist: KDistribution,
     through one executable (fastpath.GasKTables): k becomes a per-lane
     attribute, lanes partition by quadrature weight with exact per-k
     photon quotas, and the tallies accumulate the weighted band sum
-    directly.  Flux-only (no detectors, no volume absorption).  The
-    returned BandResult.mean is the band mean as usual; per_k is empty
+    directly.  Fluxes and radiance detectors (closed-shadow-eligible
+    geometries: each lane adds its own k profile's gas tau to the shadow
+    trace); volume absorption is not supported.  The returned
+    BandResult.mean is the band mean as usual; per_k is empty
     (individual k-point statistics are not separated — each batch is a
     full weighted-band sample, so batch statistics measure the band
     mean's stderr, which is what the broadband loop propagates).
     """
     profiles = kdist.absorption_profiles_on(np.asarray(base_domain.z_edges))
     if fuse_k:
-        if integrator.intensity is not None:
-            raise ValueError("fuse_k is flux-only; use bake_fastpath or the "
-                             "traced-override loop for radiance bands")
         if getattr(integrator.config, "compute_volume_absorption", False):
             raise ValueError("fuse_k cannot tally volume absorption; use "
                              "bake_fastpath for heating-rate bands")
         cache = integrator_cache if integrator_cache is not None else {}
+        # The entry retains (kdist, base_domain) alongside the integrator so
+        # the id()-based key can never be served stale by id reuse after a
+        # caller's objects are collected (same hazard ADVICE.md flagged for
+        # run_batches' derive cache).
         ckey = ("fused", id(kdist), id(base_domain))
-        integ_f = cache.get(ckey)
-        if integ_f is None:
+        hit = cache.get(ckey)
+        if hit is not None:
+            integ_f = hit[0]
+        else:
             dom_0 = domain_with_gas_component(base_domain, profiles[:, 0])
             integ_f = Integrator.create(
                 dom_0, config=integrator.config,
                 surface_albedo=integrator._surface_albedo,
                 surface=integrator._surface_arg,
+                intensity_mus=integrator._intensity_mus,
+                intensity_phis=integrator._intensity_phis,
                 gas_k=(profiles.T, kdist.weights))
-            cache[ckey] = integ_f
+            cache[ckey] = (integ_f, kdist, base_domain)
         stats = run_batches(integ_f, source, n_photons_per_batch, n_batches,
                             seed=seed, mesh=mesh, derive=derive,
                             derive_token=derive_token)
         return BandResult(mean=stats.mean, per_k=[],
                           wavelength_limits=kdist.wavelength_limits,
-                          spectral_fraction=kdist.spectral_fraction)
+                          spectral_fraction=kdist.spectral_fraction,
+                          stderr=stats.stderr)
     per_k = []
     mean_accum = None
+    var_accum = None
     for k in range(kdist.n_k):
         if bake_fastpath:
             cache = integrator_cache if integrator_cache is not None else {}
@@ -137,9 +153,14 @@ def run_band(integrator: Integrator, base_domain: Domain, kdist: KDistribution,
         mean_accum = jax.tree.map(
             lambda a, acc=None: a * w, tree) if mean_accum is None else \
             jax.tree.map(lambda acc, a: acc + a * w, mean_accum, tree)
+        var_accum = jax.tree.map(
+            lambda s: (s * w) ** 2, stats.stderr) if var_accum is None else \
+            jax.tree.map(lambda acc, s: acc + (s * w) ** 2, var_accum,
+                         stats.stderr)
     return BandResult(mean=mean_accum, per_k=per_k,
                       wavelength_limits=kdist.wavelength_limits,
-                      spectral_fraction=kdist.spectral_fraction)
+                      spectral_fraction=kdist.spectral_fraction,
+                      stderr=jax.tree.map(jax.numpy.sqrt, var_accum))
 
 
 def run_broadband(base_domain: Domain, k_distributions, source,

@@ -76,11 +76,15 @@ def test_broadband_beer_lambert():
                    for b in (0, 1))
     got = float(np.asarray(broadband.flux_down).mean())
     assert got == pytest.approx(expected, rel=5e-3)
-    # Per-band means also match their own closed forms
+    # Per-band means also match their own closed forms, within the band's
+    # own reported standard error (the (value, StdErr) contract).
     for b in (0, 1):
         band_expected = np.sum(weights[b] * np.exp(-taus[b] / mu0))
         band_got = float(np.asarray(bands[b].mean.flux_down).mean())
         assert band_got == pytest.approx(band_expected, rel=5e-3)
+        band_se = float(np.asarray(bands[b].stderr.flux_down).mean())
+        assert np.isfinite(band_se) and band_se > 0
+        assert abs(band_got - band_expected) < 6 * max(band_se, 1e-5)
     # Absorbed + transmitted closes (reflection negligible)
     total = float(np.asarray(broadband.flux_down).mean()
                   + np.asarray(broadband.flux_absorbed).mean())
@@ -159,13 +163,18 @@ def test_broadband_fuse_k_matches_baked():
         f_b = float(np.asarray(getattr(baked.mean, field)).mean())
         f_f = float(np.asarray(getattr(fused.mean, field)).mean())
         assert f_f == pytest.approx(f_b, abs=4 * sigma), field
+        # Both modes report a band-mean stderr (fused: batches are full
+        # weighted-band samples; baked: sqrt(sum_k (w_k se_k)^2)).
+        for b in (baked, fused):
+            se = float(np.asarray(getattr(b.stderr, field)).mean())
+            assert np.isfinite(se) and se >= 0, field
     closure = sum(float(np.asarray(getattr(fused.mean, f)).mean())
                   for f in ("flux_up", "flux_down", "flux_absorbed"))
     assert closure == pytest.approx(1.0, rel=1e-5)
 
 
-def test_fuse_k_rejects_radiance_and_absorption():
-    """fuse_k guards: flux-only, no volume absorption, no overrides."""
+def test_fuse_k_rejects_absorption():
+    """fuse_k guards: no volume absorption, no overrides."""
     from i3rc_tpu.core.illumination import PhotonSource
     from i3rc_tpu.integrators.integrator import Integrator
     from i3rc_tpu.integrators.spectral import (
@@ -180,13 +189,51 @@ def test_fuse_k_rejects_radiance_and_absorption():
         z, np.broadcast_to([[4e-4, 4e-3]], (32, 2)).copy(), [0.7, 0.3])
     src = PhotonSource.directional(0.5, 0.0)
     dom_gas = domain_with_gas_component(dom, kd.absorption_profiles_on(z)[:, 0])
-    integ_rad = Integrator.create(
-        dom_gas, config=IntegratorConfig(use_ray_tracing=False),
-        intensity_mus=[0.9], intensity_phis=[0.0])
-    with pytest.raises(ValueError, match="flux-only"):
-        run_band(integ_rad, dom, kd, src, 1 << 10, 1, fuse_k=True)
     integ_abs = Integrator.create(
         dom_gas, config=IntegratorConfig(use_ray_tracing=False,
                                          compute_volume_absorption=True))
     with pytest.raises(ValueError, match="volume absorption"):
         run_band(integ_abs, dom, kd, src, 1 << 10, 1, fuse_k=True)
+
+
+def test_fuse_k_radiance_matches_baked():
+    """Fused-k bands with radiance detectors + reflecting surface: each
+    lane adds its OWN k profile's gas tau to the closed shadow trace, so
+    the per-detector band means agree with the per-k baked loop (which
+    bakes each k's gas into its own executable).  Downward detector
+    included (gas tau = Gz(z)/|mu_d| branch); equal total photons."""
+    from i3rc_tpu.core.illumination import PhotonSource
+    from i3rc_tpu.integrators.integrator import Integrator
+    from i3rc_tpu.integrators.spectral import (
+        domain_with_gas_component,
+        run_band,
+    )
+    from i3rc_tpu.models.step_cloud import make_step_cloud
+
+    dom = make_step_cloud(1.0)
+    z = np.asarray(dom.z_edges)
+    kd = KDistribution.create(
+        z, np.broadcast_to([[2e-3], [2e-2]], (2, 32)).T.copy(), [0.6, 0.4],
+        spectral_fraction=1.0)
+    src = PhotonSource.directional(0.5, 0.0)
+    cfg = IntegratorConfig(use_ray_tracing=False, max_events=200,
+                           compute_volume_absorption=False)
+    integ = Integrator.create(
+        domain_with_gas_component(dom, kd.absorption_profiles_on(z)[:, 0]),
+        config=cfg, intensity_mus=[1.0, 0.5, -0.5],
+        intensity_phis=[0.0, 0.0, 0.0], surface_albedo=0.3)
+    n = 1 << 12
+    fused = run_band(integ, dom, kd, src, 2 * n, 3, seed=7, fuse_k=True,
+                     integrator_cache={})
+    baked = run_band(integ, dom, kd, src, n, 3, seed=5, bake_fastpath=True,
+                     integrator_cache={})
+    i_f = np.asarray(fused.mean.intensity).reshape(-1, 3).mean(axis=0)
+    i_b = np.asarray(baked.mean.intensity).reshape(-1, 3).mean(axis=0)
+    se_f = np.asarray(fused.stderr.intensity).reshape(-1, 3).mean(axis=0)
+    se_b = np.asarray(baked.stderr.intensity).reshape(-1, 3).mean(axis=0)
+    sig = np.sqrt(se_f ** 2 + se_b ** 2 + 1e-10)
+    assert np.all(np.abs(i_f - i_b) < 5 * sig), (i_f, i_b, sig)
+    for field in ("flux_up", "flux_down", "flux_absorbed"):
+        f_f = float(np.asarray(getattr(fused.mean, field)).mean())
+        f_b = float(np.asarray(getattr(baked.mean, field)).mean())
+        assert f_f == pytest.approx(f_b, abs=0.02), field
