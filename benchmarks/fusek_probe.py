@@ -35,6 +35,7 @@ def main():
     from i3rc_tpu.models.step_cloud import make_step_cloud
 
     n_per_k = int(sys.argv[1]) if len(sys.argv) > 1 else 1 << 22
+    with_radiance = "--radiance" in sys.argv
     n_batches = 2
     dom = make_step_cloud(1.0)
     z = np.asarray(dom.z_edges)
@@ -42,6 +43,9 @@ def main():
     cfg = IntegratorConfig(use_ray_tracing=False, max_events=500,
                            compute_volume_absorption=False,
                            majorant_block_size=16)
+    int_kw = (dict(intensity_mus=[1.0, 0.5, 0.5],
+                   intensity_phis=[0.0, 0.0, 180.0])
+              if with_radiance else {})
 
     # Baked mode needs one fastpath compile PER k point (~20-40s each on
     # the relay), so it is only measured at n_k=2 (the bench row's shape);
@@ -58,7 +62,7 @@ def main():
             w, spectral_fraction=1.0)
         integ = Integrator.create(
             domain_with_gas_component(dom, kd.absorption_profiles_on(z)[:, 0]),
-            config=cfg)
+            config=cfg, **int_kw)
         n_total = n_per_k * n_k     # equal total photons in both modes
         modes = ("baked", "fused") if n_k == 2 else ("fused",)
         for mode in modes:

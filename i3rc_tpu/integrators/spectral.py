@@ -125,9 +125,14 @@ def run_band(integrator: Integrator, base_domain: Domain, kdist: KDistribution,
     for k in range(kdist.n_k):
         if bake_fastpath:
             cache = integrator_cache if integrator_cache is not None else {}
+            # Entries retain (kdist, base_domain) so the id()-based key can
+            # never be served stale by id reuse (same hazard as the fused
+            # cache above).
             ckey = (id(kdist), k, id(base_domain))
-            integ_k = cache.get(ckey)
-            if integ_k is None:
+            hit_k = cache.get(ckey)
+            if hit_k is not None:
+                integ_k = hit_k[0]
+            else:
                 dom_k = domain_with_gas_component(base_domain, profiles[:, k])
                 integ_k = Integrator.create(
                     dom_k, config=integrator.config,
@@ -135,7 +140,7 @@ def run_band(integrator: Integrator, base_domain: Domain, kdist: KDistribution,
                     surface=integrator._surface_arg,
                     intensity_mus=integrator._intensity_mus,
                     intensity_phis=integrator._intensity_phis)
-                cache[ckey] = integ_k
+                cache[ckey] = (integ_k, kdist, base_domain)
             stats = run_batches(integ_k, source, n_photons_per_batch,
                                 n_batches, seed=seed + 1000 * k, mesh=mesh,
                                 derive=derive, derive_token=derive_token)

@@ -28,6 +28,9 @@ jax.config.update("jax_num_cpu_devices", 8)
 # modes are statistical drift, not smoke breakage — the quick tier keeps at
 # least one cheap test of every feature they cover.
 SLOW_TESTS = [
+    "test_spectral.py::test_broadband_fuse_k_matches_baked",
+    "test_spectral.py::test_fuse_k_radiance_matches_baked",
+    "test_external_validation.py::test_step_cloud_anchor",
     "test_sharded_domain.py::test_sharded_matches_single_device",
     "test_fastpath.py::test_fastpath_radiance_matches_general_kernel",
     "test_fastpath.py::test_fastpath_absorbing_radiance_matches_general",

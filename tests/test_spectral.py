@@ -173,6 +173,53 @@ def test_broadband_fuse_k_matches_baked():
     assert closure == pytest.approx(1.0, rel=1e-5)
 
 
+def test_fuse_k_beer_lambert():
+    """Quick fused-k gate: with a transparent cloud, every k point is exact
+    Beer-Lambert, so the fused single-dispatch band transmission must match
+    the closed form  T = sum_k w_k exp(-tau_k / mu0).  (The statistical
+    fused-vs-baked cross-checks are in the slow tier; this keeps a cheap
+    closed-form test of the fused path in the quick gate.)"""
+    from i3rc_tpu.core.illumination import PhotonSource
+    from i3rc_tpu.integrators.integrator import Integrator
+    from i3rc_tpu.integrators.spectral import (
+        domain_with_gas_component,
+        run_band,
+    )
+
+    mu0 = 0.5
+    # Near-transparent cloud: tau_c = 1e-3 — big enough to survive the f32
+    # fractional-extinction reconstruction next to the gas (transparent_
+    # domain's 1e-9 would be rounded away and kill gas eligibility),
+    # small enough to leave Beer-Lambert intact at the 5e-3 gate.
+    table = PhaseFunctionTable.from_phase_functions(
+        [PhaseFunction.from_legendre(henyey_greenstein_coefficients(0.85, 16))],
+        key=[1.0])
+    dom = Domain.create([0, 1.0], [0, 1.0], np.linspace(0, 1.0, 5))
+    ext = np.full((1, 1, 4), 1e-3)
+    dom = dom.add_component("cloud", ext, np.ones_like(ext),
+                            np.zeros(ext.shape, np.int32), table)
+    z = np.asarray(dom.z_edges)
+    taus = np.array([0.2, 2.0])
+    weights = np.array([0.6, 0.4])
+    kd = KDistribution.create(
+        z, np.broadcast_to(taus[None, :] / (z[-1] - z[0]), (4, 2)).copy(),
+        weights, spectral_fraction=1.0)
+    cfg = IntegratorConfig(use_ray_tracing=False, max_events=100,
+                           compute_volume_absorption=False)
+    integ = Integrator.create(
+        domain_with_gas_component(dom, kd.absorption_profiles_on(z)[:, 0]),
+        config=cfg)
+    n = 20_000
+    band = run_band(integ, dom, kd, PhotonSource.directional(mu0, 0.0),
+                    n, 2, seed=3, fuse_k=True, integrator_cache={})
+    expected = float(np.sum(weights * np.exp(-taus / mu0)))
+    got = float(np.asarray(band.mean.flux_down).mean())
+    assert got == pytest.approx(expected, rel=5e-3)
+    closure = sum(float(np.asarray(getattr(band.mean, f)).mean())
+                  for f in ("flux_up", "flux_down", "flux_absorbed"))
+    assert closure == pytest.approx(1.0, rel=1e-5)
+
+
 def test_fuse_k_rejects_absorption():
     """fuse_k guards: no volume absorption, no overrides."""
     from i3rc_tpu.core.illumination import PhotonSource
