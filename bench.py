@@ -248,7 +248,19 @@ def run_spectral(jax, scale):
     np.asarray(band.mean.flux_up).ravel()[:1]
     dt = time.perf_counter() - t0
     n_traced = n_per_batch * n_batches * 2  # 2 k-points per band
-    return n_traced / dt, band.mean
+    # Fused single-dispatch mode (run_band(fuse_k=True)): every k point of
+    # the band rides ONE executable, k as a per-lane attribute
+    # (fastpath.GasKTables) — one compile and one dispatch sequence per
+    # band regardless of n_k.  Equal total photons as the baked pass.
+    fused_warm = run_band(integ, dom, kd[0], src, 2 * n_per_batch, n_batches,
+                          seed=5, fuse_k=True, integrator_cache=cache)
+    np.asarray(fused_warm.mean.flux_up).ravel()[:1]
+    t0 = time.perf_counter()
+    fused = run_band(integ, dom, kd[0], src, 2 * n_per_batch, n_batches,
+                     seed=6, fuse_k=True, integrator_cache=cache)
+    np.asarray(fused.mean.flux_up).ravel()[:1]
+    dt_f = time.perf_counter() - t0
+    return n_traced / dt, band.mean, n_traced / dt_f, fused.mean
 
 
 def run_checks(jax, quick):
@@ -369,14 +381,17 @@ def main():
         gr_rate, gr_res = run_general_radiance(jax, scale)
         extras.append({"metric": "photons/sec/chip (step cloud + 3 detectors, general kernel queued)",
                        "value": gr_rate, "unit": "photons/s"})
-        b_rate, b_res = run_spectral(jax, scale)
+        b_rate, b_res, bf_rate, bf_res = run_spectral(jax, scale)
         extras.append({"metric": "photons/sec/chip (broadband k-distribution, 2 k-points)",
                        "value": b_rate, "unit": "photons/s"})
+        extras.append({"metric": "photons/sec/chip (broadband fused-k, single dispatch per band)",
+                       "value": bf_rate, "unit": "photons/s"})
         import numpy as np
         messages.append(
             f"radiance I={[round(float(v), 4) for v in np.asarray(r_res.mean_intensity)]} "
             f"landsat Fup={float(l_res.mean_flux_up):.4f} "
-            f"broadband Fup={float(np.asarray(b_res.flux_up).mean()):.4f}")
+            f"broadband Fup={float(np.asarray(b_res.flux_up).mean()):.4f} "
+            f"fused Fup={float(np.asarray(bf_res.flux_up).mean()):.4f}")
 
     out = {
         "metric": "photons/sec/chip (I3RC step cloud, flux, max cross-section)",

@@ -31,6 +31,8 @@ SLOW_TESTS = [
     "test_spectral.py::test_broadband_fuse_k_matches_baked",
     "test_spectral.py::test_fuse_k_radiance_matches_baked",
     "test_external_validation.py::test_step_cloud_anchor",
+    "test_external_validation.py::test_conservative_slab_vs_oracle[18.0-0.5-65536-fast]",
+    "test_external_validation.py::test_conservative_slab_vs_oracle[1.0-0.5-262144-fast]",
     "test_sharded_domain.py::test_sharded_matches_single_device",
     "test_fastpath.py::test_fastpath_radiance_matches_general_kernel",
     "test_fastpath.py::test_fastpath_absorbing_radiance_matches_general",
