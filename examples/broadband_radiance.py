@@ -12,7 +12,9 @@ broadband results with their standard errors:
            (production steady state; ~20x traced);
   fused    every k point of a band in ONE dispatch of ONE executable
            (fastpath.GasKTables): k is a per-lane attribute, detectors
-           ride the closed shadow trace with per-lane-k gas tau.
+           ride the closed shadow trace with per-lane-k gas tau, and
+           heating-rate bands (compute_volume_absorption) resolve gas
+           deaths by inverting the lane's cumulative gas depth.
 
 Run:  python examples/broadband_radiance.py [n_photons_per_batch] [--traced]
 (CPU: prepend JAX_PLATFORMS=cpu.  The traced mode is the general wavefront

@@ -860,8 +860,9 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
         # cumulative Gz — see the detector block in fast_event.
         assert not plan.detectors or plan.closed_shadow, \
             "gas_k detectors require the closed shadow trace"
-        assert not getattr(config, "compute_volume_absorption", False), \
-            "gas_k: volume absorption needs exact death positions"
+        # Volume absorption IS supported: with the tally on, gas deaths
+        # invert the lane's cumulative Gz for their exact z layer (see
+        # gk_vol in the event step); cloud deaths are exact already.
         from i3rc_tpu.core.illumination import _TOP_Z
         from i3rc_tpu.ops.gather import read_rows as _read_rows_gk
 
@@ -913,6 +914,18 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
         gk_slices = [(int(s), int(s + c))
                      for s, c in zip(gk_starts, gk_counts)]
         n_photons_total = int(gk_budget.sum())
+        # Heating-rate bands (compute_volume_absorption): gas deaths must
+        # land in their EXACT z layer, so the event step inverts the
+        # piecewise-linear Gz at the death target.  The per-lane cumulative
+        # row is lane-STATIC (k is a lane attribute) — one (L, n_z) f32
+        # broadcast-compare finds the death layer, one extra one-hot row
+        # read linearizes within it.  Only paid when the tally is on.
+        gk_vol = bool(getattr(config, "compute_volume_absorption", False))
+        if gk_vol:
+            gk_cum_lane = jnp.asarray(
+                _gk_cum[:, :n_z][k_idx_np].astype(np.float32))
+    else:
+        gk_vol = False
 
     def wrap_fast(v, lo, hi):
         """Periodic wrap for positions at most one event-step outside."""
@@ -1281,6 +1294,30 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
                 dgas = jnp.maximum(dgas, 0.0)
                 gas_die = moving & (dgas >= tgas)
                 fdie = jnp.clip(tgas / jnp.maximum(dgas, TINY), 0.0, 1.0)
+                if gk_vol:
+                    # Exact death position: invert the lane's piecewise-
+                    # linear Gz at the death target G_t = Gz(z1) + tgas*uz
+                    # (both uz signs: traveled gas depth is (Gz(z2)-Gz(z1))
+                    # /uz).  Death layer from the lane-static cumulative
+                    # row; linear within the layer.  The constant-gz
+                    # fraction stays for |uz| ~ 0 steps (single layer —
+                    # already exact) and for the tally-off fast shape.
+                    G_t = gcur + tgas * uz
+                    ld = jnp.sum((gk_cum_lane <= G_t[:, None])
+                                 .astype(jnp.int32), axis=1) - 1
+                    ld = jnp.clip(ld, 0, n_z - 1)
+                    row_d = _read_rows_gk(gk_table, gk_row_off + ld)
+                    gz_ld = row_d[:, 0]
+                    z_d = (jnp.float32(z0)
+                           + ld.astype(jnp.float32) * jnp.float32(dz_gk)
+                           + jnp.where(gz_ld > 0.0,
+                                       (G_t - row_d[:, 1])
+                                       / jnp.maximum(gz_ld, TINY),
+                                       0.5 * jnp.float32(dz_gk)))
+                    denom = uz * adv
+                    f_ex = jnp.clip((z_d - z) / jnp.where(
+                        jnp.abs(denom) > 0.0, denom, 1.0), 0.0, 1.0)
+                    fdie = jnp.where(jnp.abs(uz) >= 1e-6, f_ex, fdie)
                 xd = wrap_fast(x + ux * adv * fdie, x0, x_max)
                 zd = z + uz * adv * fdie
                 if track_y:
@@ -1536,9 +1573,11 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
         if vol_tally:
             iz = jnp.clip(((z - z0) * inv_dz_cell).astype(jnp.int32),
                           0, n_z - 1)
+            w3 = (pk == 3).astype(jnp.float32)
+            if gask_mode:
+                w3 = w3 * gk_lane_w
             if n_cols * n_z <= (1 << 18):
-                vol = tally_multi(vol, col * n_z + iz,
-                                  (pk == 3).astype(jnp.float32)[:, None])
+                vol = tally_multi(vol, col * n_z + iz, w3[:, None])
             else:
                 # Big grids (e.g. Landsat 1.95M cells): XLA scatter-add at
                 # flush time — ~1 ms per 2^17 lanes, amortized over the
@@ -1549,8 +1588,7 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
 
                 vol = tally_scatter(
                     vol[:, 0], jnp.where(pk == 3, col * n_z + iz,
-                                         n_cols * n_z),
-                    (pk == 3).astype(jnp.float32))[:, None]
+                                         n_cols * n_z), w3)[:, None]
         return tally_multi(columns, col, vals), vol, jnp.zeros_like(pk)
 
     def trace(key, batch, source=None, optics_override=None):

@@ -358,10 +358,6 @@ class Integrator:
                     "additionally need closed-shadow eligibility — at most "
                     "one varying horizontal factor and |mu_d| > 1e-6; see "
                     "fastpath.fast_plan)")
-            if self.config.compute_volume_absorption:
-                raise ValueError("gas_k spectral batching cannot tally "
-                                 "volume absorption (sub-step death "
-                                 "positions); use bake_fastpath instead")
             plan = _replace(plan, gas_k=GasKTables(*self._gas_k))
             fast = make_fast_tracer(self.geometry, plan, self.config,
                                     n_photons, n_lanes)

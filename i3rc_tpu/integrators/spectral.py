@@ -80,9 +80,10 @@ def run_band(integrator: Integrator, base_domain: Domain, kdist: KDistribution,
     through one executable (fastpath.GasKTables): k becomes a per-lane
     attribute, lanes partition by quadrature weight with exact per-k
     photon quotas, and the tallies accumulate the weighted band sum
-    directly.  Fluxes and radiance detectors (closed-shadow-eligible
+    directly.  Fluxes, radiance detectors (closed-shadow-eligible
     geometries: each lane adds its own k profile's gas tau to the shadow
-    trace); volume absorption is not supported.  The returned
+    trace), and volume absorption (heating-rate bands: gas deaths invert
+    the lane's cumulative Gz for their exact cell).  The returned
     BandResult.mean is the band mean as usual; per_k is empty
     (individual k-point statistics are not separated — each batch is a
     full weighted-band sample, so batch statistics measure the band
@@ -90,9 +91,6 @@ def run_band(integrator: Integrator, base_domain: Domain, kdist: KDistribution,
     """
     profiles = kdist.absorption_profiles_on(np.asarray(base_domain.z_edges))
     if fuse_k:
-        if getattr(integrator.config, "compute_volume_absorption", False):
-            raise ValueError("fuse_k cannot tally volume absorption; use "
-                             "bake_fastpath for heating-rate bands")
         cache = integrator_cache if integrator_cache is not None else {}
         # The entry retains (kdist, base_domain) alongside the integrator so
         # the id()-based key can never be served stale by id reuse after a

@@ -29,6 +29,7 @@ jax.config.update("jax_num_cpu_devices", 8)
 # least one cheap test of every feature they cover.
 SLOW_TESTS = [
     "test_spectral.py::test_broadband_fuse_k_matches_baked",
+    "test_spectral.py::test_fuse_k_volume_absorption_matches_baked",
     "test_spectral.py::test_fuse_k_radiance_matches_baked",
     "test_external_validation.py::test_step_cloud_anchor",
     "test_external_validation.py::test_conservative_slab_vs_oracle[18.0-0.5-65536-fast]",

@@ -220,8 +220,72 @@ def test_fuse_k_beer_lambert():
     assert closure == pytest.approx(1.0, rel=1e-5)
 
 
-def test_fuse_k_rejects_absorption():
-    """fuse_k guards: no volume absorption, no overrides."""
+def test_fuse_k_volume_absorption_beer_lambert():
+    """Fused-k heating-rate bands: with a near-transparent cloud the
+    per-layer gas absorption is closed-form — the direct beam deposits
+    A_l = sum_k w_k [exp(-tau_k (1-z_top)/mu0) - exp(-tau_k (1-z_bot)/mu0)]
+    in layer l.  Gates the exact Gz-inversion death positions (a constant-
+    gz interpolation would smear absorption across the layers a long
+    clear-air step crosses — exactly this geometry)."""
+    from i3rc_tpu.core.illumination import PhotonSource
+    from i3rc_tpu.integrators.integrator import Integrator
+    from i3rc_tpu.integrators.spectral import (
+        domain_with_gas_component,
+        run_band,
+    )
+
+    mu0 = 0.5
+    table = PhaseFunctionTable.from_phase_functions(
+        [PhaseFunction.from_legendre(henyey_greenstein_coefficients(0.85, 16))],
+        key=[1.0])
+    dom = Domain.create([0, 1.0], [0, 1.0], np.linspace(0, 1.0, 5))
+    # Cloud in the BOTTOM layer only: the clear-air step above it spans
+    # three gas layers in ONE transport step (no cloud faces), which is
+    # where a constant-gz death interpolation smears the heating profile.
+    ext = np.array([1e-3, 0.0, 0.0, 0.0]).reshape(1, 1, 4)
+    dom = dom.add_component("cloud", ext, np.ones_like(ext),
+                            np.zeros(ext.shape, np.int32), table)
+    z = np.asarray(dom.z_edges)
+    # LAYERED gas profiles (per-layer tau, bottom-up): non-uniform in z so
+    # the constant-gz interpolation would misplace deaths (it deposits
+    # uniformly in distance along the spanning step).
+    layer_taus = np.array([[0.05, 1.5],
+                           [0.10, 0.3],
+                           [0.20, 0.1],
+                           [0.40, 0.05]])       # (n_lay, n_k)
+    weights = np.array([0.6, 0.4])
+    dz = 0.25
+    kd = KDistribution.create(z, layer_taus / dz, weights,
+                              spectral_fraction=1.0)
+    cfg = IntegratorConfig(use_ray_tracing=False, max_events=100,
+                           compute_volume_absorption=True)
+    integ = Integrator.create(
+        domain_with_gas_component(dom, kd.absorption_profiles_on(z)[:, 0]),
+        config=cfg)
+    n = 40_000
+    band = run_band(integ, dom, kd, PhotonSource.directional(mu0, 0.0),
+                    n, 2, seed=3, fuse_k=True, integrator_cache={})
+    vol = np.asarray(band.mean.volume_absorption).reshape(4)  # (nz,), per m
+    expect = np.zeros(4)
+    for k, w in enumerate(weights):
+        # tau above each edge (edges bottom-up, 5 of them)
+        tau_above = np.concatenate(
+            [np.cumsum(layer_taus[::-1, k])[::-1], [0.0]])
+        t_at = np.exp(-tau_above / mu0)          # transmission at each edge
+        expect += w * (t_at[1:] - t_at[:-1]) / dz   # per-meter deposit
+    sigma = np.sqrt(np.maximum(expect * dz, 1e-4) / (2 * n)) / dz
+    assert np.all(np.abs(vol - expect) < 5 * sigma + 8e-3), (vol, expect)
+    # The volume tally integrates to the absorbed flux.
+    fabs = float(np.asarray(band.mean.flux_absorbed).mean())
+    assert vol.sum() * dz == pytest.approx(fabs, abs=1e-5)
+
+
+def test_fuse_k_volume_absorption_matches_baked():
+    """Fused-k heating rates on the step cloud (absorbing cloud + layered
+    gas): the 3-D volume-absorption field's layer profile agrees with the
+    per-k baked loop, which bakes each k's gas into its own executable and
+    resolves gas deaths at exact gas-face granularity.  Mixed death
+    classes (cloud Bernoulli + gas threshold) both land in their cells."""
     from i3rc_tpu.core.illumination import PhotonSource
     from i3rc_tpu.integrators.integrator import Integrator
     from i3rc_tpu.integrators.spectral import (
@@ -230,17 +294,69 @@ def test_fuse_k_rejects_absorption():
     )
     from i3rc_tpu.models.step_cloud import make_step_cloud
 
+    dom = make_step_cloud(0.99)
+    z = np.asarray(dom.z_edges)
+    nz = z.size - 1
+    # Bottom-heavy layered gas, two k points; 4 vertical blocks (the gas
+    # chain compresses run-lengths and caps at MAX_SEGMENTS=24 faces).
+    prof = np.stack(
+        [np.repeat([2e-3, 1e-3, 5e-4, 2e-4], nz // 4),
+         np.repeat([8e-2, 3e-2, 1.5e-2, 8e-3], nz // 4)], axis=1)
+    kd = KDistribution.create(z, prof, [0.6, 0.4], spectral_fraction=1.0)
+    src = PhotonSource.directional(0.5, 0.0)
+    cfg = IntegratorConfig(use_ray_tracing=False, max_events=200,
+                           compute_volume_absorption=True)
+    integ = Integrator.create(
+        domain_with_gas_component(dom, kd.absorption_profiles_on(z)[:, 0]),
+        config=cfg)
+    n = 1 << 13
+    fused = run_band(integ, dom, kd, src, n, 3, seed=7, fuse_k=True,
+                     integrator_cache={})
+    baked = run_band(integ, dom, kd, src, n, 3, seed=5, bake_fastpath=True,
+                     integrator_cache={})
+    v_f = np.asarray(fused.mean.volume_absorption).reshape(-1, nz).sum(0)
+    v_b = np.asarray(baked.mean.volume_absorption).reshape(-1, nz).sum(0)
+    se_f = np.sqrt((np.asarray(fused.stderr.volume_absorption)
+                    .reshape(-1, nz) ** 2).sum(0))
+    se_b = np.sqrt((np.asarray(baked.stderr.volume_absorption)
+                    .reshape(-1, nz) ** 2).sum(0))
+    sig = np.sqrt(se_f ** 2 + se_b ** 2) + 1e-4 * max(v_b.max(), 1e-9)
+    assert np.all(np.abs(v_f - v_b) < 5 * sig), (v_f, v_b, sig)
+    # Integral closes against the absorbed flux in both modes.
+    dz = float(z[1] - z[0])
+    for b in (fused, baked):
+        fabs = float(np.asarray(b.mean.flux_absorbed).mean())
+        vint = float(np.asarray(b.mean.volume_absorption).reshape(-1, nz)
+                     .mean(0).sum() * dz)
+        assert vint == pytest.approx(fabs, rel=2e-5, abs=1e-6)
+
+
+def test_fuse_k_rejects_override():
+    """fuse_k guard: optics overrides don't apply (every k profile baked)."""
+    from i3rc_tpu.core.illumination import PhotonSource
+    from i3rc_tpu.core.optics import flatten_optics
+    from i3rc_tpu.integrators.integrator import (
+        Integrator,
+        device_optics_from_flat,
+    )
+    from i3rc_tpu.integrators.spectral import domain_with_gas_component
+    from i3rc_tpu.models.step_cloud import make_step_cloud
+    from i3rc_tpu.parallel.mesh import run_batches
+
     dom = make_step_cloud(1.0)
     z = np.asarray(dom.z_edges)
     kd = KDistribution.create(
         z, np.broadcast_to([[4e-4, 4e-3]], (32, 2)).copy(), [0.7, 0.3])
-    src = PhotonSource.directional(0.5, 0.0)
     dom_gas = domain_with_gas_component(dom, kd.absorption_profiles_on(z)[:, 0])
-    integ_abs = Integrator.create(
-        dom_gas, config=IntegratorConfig(use_ray_tracing=False,
-                                         compute_volume_absorption=True))
-    with pytest.raises(ValueError, match="volume absorption"):
-        run_band(integ_abs, dom, kd, src, 1 << 10, 1, fuse_k=True)
+    cfg = IntegratorConfig(use_ray_tracing=False, max_events=100)
+    integ = Integrator.create(
+        dom_gas, config=cfg,
+        gas_k=(kd.absorption_profiles_on(z).T, kd.weights))
+    optics = device_optics_from_flat(flatten_optics(dom_gas),
+                                     cfg.majorant_block_size)
+    with pytest.raises(ValueError, match="overrides"):
+        run_batches(integ, PhotonSource.directional(0.5, 0.0), 1 << 10, 1,
+                    optics_override=optics)
 
 
 def test_fuse_k_radiance_matches_baked():
