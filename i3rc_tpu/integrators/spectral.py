@@ -88,8 +88,26 @@ def run_band(integrator: Integrator, base_domain: Domain, kdist: KDistribution,
     (individual k-point statistics are not separated — each batch is a
     full weighted-band sample, so batch statistics measure the band
     mean's stderr, which is what the broadband loop propagates).
+
+    ``fuse_k="auto"`` tries the fused dispatch and falls back to the
+    per-k baked loop when the workload is ineligible (non-gas-channel
+    cloud shape, BRDF surface, non-default estimators, ...) — the
+    production default for mixed-scene spectral sweeps.
     """
     profiles = kdist.absorption_profiles_on(np.asarray(base_domain.z_edges))
+    if fuse_k == "auto":
+        try:
+            return run_band(integrator, base_domain, kdist, source,
+                            n_photons_per_batch, n_batches, seed=seed,
+                            mesh=mesh, derive=derive,
+                            derive_token=derive_token, fuse_k=True,
+                            integrator_cache=integrator_cache)
+        except ValueError:
+            return run_band(integrator, base_domain, kdist, source,
+                            n_photons_per_batch, n_batches, seed=seed,
+                            mesh=mesh, derive=derive,
+                            derive_token=derive_token, bake_fastpath=True,
+                            integrator_cache=integrator_cache)
     if fuse_k:
         cache = integrator_cache if integrator_cache is not None else {}
         # The entry retains (kdist, base_domain) alongside the integrator so

@@ -331,6 +331,62 @@ def test_fuse_k_volume_absorption_matches_baked():
         assert vint == pytest.approx(fabs, rel=2e-5, abs=1e-6)
 
 
+def test_fuse_k_auto_fallback():
+    """fuse_k='auto': fused dispatch when the band is eligible (per_k is
+    empty — batches are whole-band samples), per-k baked fallback when it
+    is not (non-separable 3-D cloud; per_k holds each k's stats)."""
+    from i3rc_tpu.core.illumination import PhotonSource
+    from i3rc_tpu.core.optics import Domain
+    from i3rc_tpu.integrators.integrator import Integrator
+    from i3rc_tpu.integrators.spectral import (
+        domain_with_gas_component,
+        run_band,
+    )
+
+    table = PhaseFunctionTable.from_phase_functions(
+        [PhaseFunction.from_legendre(henyey_greenstein_coefficients(0.85, 16))],
+        key=[1.0])
+    src = PhotonSource.directional(0.5, 0.0)
+    cfg = IntegratorConfig(use_ray_tracing=False, max_events=100)
+
+    # Eligible: uniform slab cloud -> fused (per_k empty).
+    dom = Domain.create([0, 1.0], [0, 1.0], np.linspace(0, 1.0, 5))
+    ext = np.full((1, 1, 4), 1e-3)
+    dom = dom.add_component("cloud", ext, np.ones_like(ext),
+                            np.zeros(ext.shape, np.int32), table)
+    z = np.asarray(dom.z_edges)
+    kd = KDistribution.create(
+        z, np.broadcast_to([[0.4, 4.0]], (4, 2)).copy(), [0.6, 0.4],
+        spectral_fraction=1.0)
+    integ = Integrator.create(
+        domain_with_gas_component(dom, kd.absorption_profiles_on(z)[:, 0]),
+        config=cfg)
+    band = run_band(integ, dom, kd, src, 4096, 2, seed=3, fuse_k="auto",
+                    integrator_cache={})
+    assert band.per_k == []
+
+    # Ineligible: random 3-D cloud (not rank-1 separable) -> baked fallback.
+    rng = np.random.default_rng(0)
+    dom3 = Domain.create(np.linspace(0, 4.0, 5), [0, 1.0],
+                         np.linspace(0, 1.0, 5))
+    ext3 = rng.uniform(0.5, 2.0, (4, 1, 4))
+    dom3 = dom3.add_component("cloud", ext3, np.ones_like(ext3),
+                              np.zeros(ext3.shape, np.int32), table)
+    z3 = np.asarray(dom3.z_edges)
+    kd3 = KDistribution.create(
+        z3, np.broadcast_to([[0.4, 4.0]], (4, 2)).copy(), [0.6, 0.4],
+        spectral_fraction=1.0)
+    integ3 = Integrator.create(
+        domain_with_gas_component(dom3, kd3.absorption_profiles_on(z3)[:, 0]),
+        config=cfg)
+    band3 = run_band(integ3, dom3, kd3, src, 4096, 2, seed=3, fuse_k="auto",
+                     integrator_cache={})
+    assert len(band3.per_k) == 2
+    closure = sum(float(np.asarray(getattr(band3.mean, f)).mean())
+                  for f in ("flux_up", "flux_down", "flux_absorbed"))
+    assert closure == pytest.approx(1.0, rel=2e-2)
+
+
 def test_fuse_k_rejects_override():
     """fuse_k guard: optics overrides don't apply (every k profile baked)."""
     from i3rc_tpu.core.illumination import PhotonSource
