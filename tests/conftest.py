@@ -62,6 +62,7 @@ SLOW_TESTS = [
     "test_tools.py::test_physical_to_domain_pipeline",
     "test_tools.py::test_make_mie_table_water",
     "test_drivers.py::test_monte_carlo_driver_flux_outputs",
+    "test_drivers.py::test_broadband_driver",
     "test_variance_reduction.py::test_ratio_tracking_unbiased",
     "test_variance_reduction.py::test_intensity_mode_agreement",
     "test_variance_reduction.py::test_barker_clipping_redistributes",

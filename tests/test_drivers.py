@@ -110,3 +110,115 @@ def test_plane_parallel_radiance_mode(tmp_path):
     out = run_pp(str(p), quiet=True)
     assert out["radiance"].shape == (1,)
     assert 0.0 < float(out["radiance"][0]) < 0.2
+
+
+def test_broadband_driver(tmp_path):
+    """Broadband driver end-to-end: domain + two k-distribution files in,
+    broadband flux/radiance/profile files out.  The near-transparent-cloud
+    scene makes the broadband transmission closed-form:
+    T = sum_b f_b sum_k w_bk exp(-tau_bk / mu0)."""
+    from i3rc_tpu import Domain
+    from i3rc_tpu.core.k_distribution import KDistribution, write_k_distribution
+    from i3rc_tpu.core.phase_functions import (
+        PhaseFunction,
+        PhaseFunctionTable,
+        henyey_greenstein_coefficients,
+    )
+    from i3rc_tpu.drivers.broadband_driver import run_from_namelist as run_bb
+    from i3rc_tpu.io.netcdf import write_domain
+
+    table = PhaseFunctionTable.from_phase_functions(
+        [PhaseFunction.from_legendre(henyey_greenstein_coefficients(0.85, 16))],
+        key=[1.0])
+    dom = Domain.create([0, 1.0], [0, 1.0], np.linspace(0, 1.0, 5))
+    ext = np.full((1, 1, 4), 1e-3)
+    dom = dom.add_component("cloud", ext, np.ones_like(ext),
+                            np.zeros(ext.shape, np.int32), table)
+    write_domain(dom, str(tmp_path / "slab.dom"))
+    z = np.linspace(0.0, 1.0, 5)
+    taus = {0: np.array([0.2, 2.0]), 1: np.array([0.05, 0.8])}
+    weights = {0: np.array([0.6, 0.4]), 1: np.array([0.5, 0.5])}
+    fractions = {0: 0.7, 1: 0.3}
+    for b in (0, 1):
+        kd = KDistribution.create(
+            z, np.broadcast_to(taus[b][None, :], (4, 2)).copy(), weights[b],
+            wavelength_limits=(0.5 + b, 0.7 + b),
+            spectral_fraction=fractions[b])
+        write_k_distribution(kd, str(tmp_path / f"band{b}.kd"))
+
+    nml = textwrap.dedent(f"""
+    &radiativeTransfer
+      solarFlux = 1., solarMu = 0.5, solarAzimuth = 0.,
+      intensityMus = 1.0, 0.5, intensityPhis = 0., 0.,
+    /
+    &monteCarlo
+      numPhotonsPerBatch = 10000, numBatches = 2, iseed = 7
+    /
+    &algorithms
+      useRayTracing = .false., maxEvents = 100
+    /
+    &fileNames
+      domainFileName = "{tmp_path}/slab.dom",
+      outputFluxFile = "{tmp_path}/bb_flux.out",
+      outputRadFile = "{tmp_path}/bb_rad.out",
+      outputAbsProfFile = "{tmp_path}/bb_prof.out",
+      outputNetcdfFile = "{tmp_path}/bb.nc"
+    /
+    &output
+      reportAbsorptionProfile = .true.
+    /
+    &spectral
+      kDistributionFiles = "{tmp_path}/band0.kd", "{tmp_path}/band1.kd",
+      spectralMode = "auto"
+    /
+    """)
+    nml_path = tmp_path / "bb.nml"
+    nml_path.write_text(nml)
+    out = run_bb(str(nml_path), quiet=True)
+
+    for f in ("bb_flux.out", "bb_rad.out", "bb_prof.out", "bb.nc"):
+        assert (tmp_path / f).exists(), f
+
+    mu0 = 0.5
+    expected = sum(fractions[b] * np.sum(weights[b] * np.exp(-taus[b] / mu0))
+                   for b in (0, 1))
+    got = float(out["flux_down"][0].mean())
+    assert got == pytest.approx(expected, rel=1e-2)
+    # Closure across the spectrum; volume profile integrates to Fabs.
+    m = out["mean_stats"]
+    assert m[0][0] + m[1][0] + m[2][0] == pytest.approx(1.0, rel=1e-2)
+    dz = 0.25
+    assert float(out["profile"][0].sum()) * dz == pytest.approx(
+        m[2][0], rel=1e-3)
+    # Both bands reported with finite stderr.
+    assert len(out["bands"]) == 2
+    for band in out["bands"]:
+        se = float(np.asarray(band.stderr.flux_down).mean())
+        assert np.isfinite(se) and se > 0
+
+
+def test_broadband_driver_namelist_validation(tmp_path):
+    """Quick guard tier for the broadband driver: missing kDistributionFiles
+    and bad spectralMode fail loudly before any compile."""
+    from i3rc_tpu.drivers.broadband_driver import run_from_namelist as run_bb
+
+    base = textwrap.dedent("""
+    &radiativeTransfer
+      solarMu = 0.5
+    /
+    &fileNames
+      domainFileName = "nonexistent.dom"
+    /
+    """)
+    p = tmp_path / "missing_kd.nml"
+    p.write_text(base)
+    with pytest.raises(ValueError, match="kDistributionFiles"):
+        run_bb(str(p), quiet=True)
+    p2 = tmp_path / "bad_mode.nml"
+    p2.write_text(base + textwrap.dedent("""
+    &spectral
+      kDistributionFiles = "x.kd", spectralMode = "warp"
+    /
+    """))
+    with pytest.raises(ValueError, match="spectralMode"):
+        run_bb(str(p2), quiet=True)
