@@ -252,15 +252,21 @@ def run_spectral(jax, scale):
     # the band rides ONE executable, k as a per-lane attribute
     # (fastpath.GasKTables) — one compile and one dispatch sequence per
     # band regardless of n_k.  Equal total photons as the baked pass.
-    fused_warm = run_band(integ, dom, kd[0], src, 2 * n_per_batch, n_batches,
-                          seed=5, fuse_k=True, integrator_cache=cache)
-    np.asarray(fused_warm.mean.flux_up).ravel()[:1]
-    t0 = time.perf_counter()
-    fused = run_band(integ, dom, kd[0], src, 2 * n_per_batch, n_batches,
-                     seed=6, fuse_k=True, integrator_cache=cache)
-    np.asarray(fused.mean.flux_up).ravel()[:1]
-    dt_f = time.perf_counter() - t0
-    return n_traced / dt, band.mean, n_traced / dt_f, fused.mean
+    # Guarded: a fused failure must not cost the whole bench run.
+    try:
+        fused_warm = run_band(integ, dom, kd[0], src, 2 * n_per_batch,
+                              n_batches, seed=5, fuse_k=True,
+                              integrator_cache=cache)
+        np.asarray(fused_warm.mean.flux_up).ravel()[:1]
+        t0 = time.perf_counter()
+        fused = run_band(integ, dom, kd[0], src, 2 * n_per_batch, n_batches,
+                         seed=6, fuse_k=True, integrator_cache=cache)
+        np.asarray(fused.mean.flux_up).ravel()[:1]
+        dt_f = time.perf_counter() - t0
+        return n_traced / dt, band.mean, n_traced / dt_f, fused.mean
+    except Exception as e:  # pragma: no cover - device-specific failures
+        print(f"# fused-k bench row failed: {e!r}", file=sys.stderr)
+        return n_traced / dt, band.mean, 0.0, band.mean
 
 
 def run_checks(jax, quick):
