@@ -254,12 +254,12 @@ def run_spectral(jax, scale):
     # band regardless of n_k.  Equal total photons as the baked pass.
     # Guarded: a fused failure must not cost the whole bench run.
     try:
-        fused_warm = run_band(integ, dom, kd[0], src, 2 * n_per_batch,
+        fused_warm = run_band(integ, dom, kd[0], src, n_per_batch,
                               n_batches, seed=5, fuse_k=True,
                               integrator_cache=cache)
         np.asarray(fused_warm.mean.flux_up).ravel()[:1]
         t0 = time.perf_counter()
-        fused = run_band(integ, dom, kd[0], src, 2 * n_per_batch, n_batches,
+        fused = run_band(integ, dom, kd[0], src, n_per_batch, n_batches,
                          seed=6, fuse_k=True, integrator_cache=cache)
         np.asarray(fused.mean.flux_up).ravel()[:1]
         dt_f = time.perf_counter() - t0

@@ -66,12 +66,11 @@ def main():
         n_total = n_per_k * n_k     # equal total photons in both modes
         modes = ("baked", "fused") if n_k == 2 else ("fused",)
         for mode in modes:
-            if mode == "baked":
-                kw = dict(bake_fastpath=True)
-                n_pb = n_per_k
-            else:
-                kw = dict(fuse_k=True)
-                n_pb = n_total      # one dispatch covers every k point
+            # Both modes take per-k photons (run_band contract); fused
+            # traces all n_per_k * n_k in one dispatch.
+            kw = (dict(bake_fastpath=True) if mode == "baked"
+                  else dict(fuse_k=True))
+            n_pb = n_per_k
             cache = {}
             warm = run_band(integ, dom, kd, src, n_pb, n_batches,
                             seed=5, integrator_cache=cache, **kw)

@@ -227,8 +227,15 @@ def detect_hg(table) -> float | None:
     g = float(c[0])
     if abs(g) >= 1.0:
         return None
-    expect = g ** np.arange(1, c.size + 1)
-    if not np.allclose(np.asarray(c, float), expect, rtol=1e-6, atol=1e-12):
+    # Tolerance grows linearly with the order: netCDF round trips store the
+    # coefficients as f32, so c[0] carries ~6e-8 relative rounding and the
+    # implied g^l error compounds as ~l * 6e-8 (a flat rtol rejected every
+    # file-read HG domain at l >~ 20, silently demoting .dom workflows off
+    # the HG/Pallas fastpath).
+    orders = np.arange(1, c.size + 1)
+    expect = g ** orders
+    tol = 2.5e-7 * (orders + 1) * np.abs(expect) + 1e-12
+    if not np.all(np.abs(np.asarray(c, float) - expect) <= tol):
         return None
     return g
 
@@ -486,16 +493,26 @@ def fast_plan(geom, flat, optics, surface, intensity, config) -> FastPlan | None
         # same piecewise-cubic mu(p) inverse-CDF fit as the general kernel
         # (one small one-hot row read per event — XLA path only).  Radiance
         # detectors additionally read phase VALUES from a log-space cubic
-        # fit of the forward table (FastPlan.fwd_cubic).
-        if (optics.n_components != 1 or gas_factor is not None
-                or len(flat.forward_tables[0].phase_functions) != 1):
+        # fit of the forward table (FastPlan.fwd_cubic).  With a gas
+        # channel the fits are built from the CLOUD component's table —
+        # the gas is a pure absorber and never samples a direction or a
+        # detector value — admitting the production broadband class
+        # (tabulated/Mie cloud + k-distribution gas) to the fastpath and
+        # the fused spectral dispatch.
+        if gas_factor is not None:
+            comp = cloud_idx
+        elif optics.n_components == 1:
+            comp = 0
+        else:
+            return None
+        if len(flat.forward_tables[comp].phase_functions) != 1:
             return None
         from i3rc_tpu.integrators.tables import (build_forward_cubic,
                                                  build_inverse_cubic)
 
-        cubic = np.asarray(build_inverse_cubic(flat)[0, 0], np.float32)
+        cubic = np.asarray(build_inverse_cubic(flat)[comp, 0], np.float32)
         if intensity is not None:
-            fwd_cubic = np.asarray(build_forward_cubic(flat)[0, 0],
+            fwd_cubic = np.asarray(build_forward_cubic(flat)[comp, 0],
                                    np.float32)
         g = 0.0
     factors = None if per_col_props else separable_factors(

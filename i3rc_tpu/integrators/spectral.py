@@ -80,7 +80,9 @@ def run_band(integrator: Integrator, base_domain: Domain, kdist: KDistribution,
     through one executable (fastpath.GasKTables): k becomes a per-lane
     attribute, lanes partition by quadrature weight with exact per-k
     photon quotas, and the tallies accumulate the weighted band sum
-    directly.  Fluxes, radiance detectors (closed-shadow-eligible
+    directly.  ``n_photons_per_batch`` keeps the per-k meaning of the
+    other modes — each fused batch traces ``n_photons_per_batch * n_k``
+    photons total, so switching modes never changes the photon budget.  Fluxes, radiance detectors (closed-shadow-eligible
     geometries: each lane adds its own k profile's gas tau to the shadow
     trace), and volume absorption (heating-rate bands: gas deaths invert
     the lane's cumulative Gz for their exact cell).  The returned
@@ -89,10 +91,12 @@ def run_band(integrator: Integrator, base_domain: Domain, kdist: KDistribution,
     full weighted-band sample, so batch statistics measure the band
     mean's stderr, which is what the broadband loop propagates).
 
-    ``fuse_k="auto"`` tries the fused dispatch and falls back to the
-    per-k baked loop when the workload is ineligible (non-gas-channel
-    cloud shape, BRDF surface, non-default estimators, ...) — the
-    production default for mixed-scene spectral sweeps.
+    ``fuse_k="auto"`` tries the fused dispatch and falls back when the
+    workload is ineligible (non-gas-channel cloud shape, BRDF surface,
+    non-default estimators, ...): to the per-k baked loop when the baked
+    integrator still elects a fastpath plan, otherwise to the
+    traced-override loop (one general-kernel executable for every k) —
+    the production default for mixed-scene spectral sweeps.
     """
     profiles = kdist.absorption_profiles_on(np.asarray(base_domain.z_edges))
     if fuse_k == "auto":
@@ -103,10 +107,27 @@ def run_band(integrator: Integrator, base_domain: Domain, kdist: KDistribution,
                             derive_token=derive_token, fuse_k=True,
                             integrator_cache=integrator_cache)
         except ValueError:
+            # Fused ineligible.  Per-k baking only pays when the baked
+            # integrator elects the gas-channel fastpath; when it would
+            # land on the general kernel anyway, baking recompiles that
+            # kernel n_k times where the traced-override loop pushes every
+            # k point through ONE executable (round-2 broadband design).
+            from i3rc_tpu.integrators import fastpath as _fp
+            probe = Integrator.create(
+                domain_with_gas_component(base_domain, profiles[:, 0]),
+                config=integrator.config,
+                surface_albedo=integrator._surface_albedo,
+                surface=integrator._surface_arg,
+                intensity_mus=integrator._intensity_mus,
+                intensity_phis=integrator._intensity_phis)
+            baked_fast = _fp.fast_plan(
+                probe.geometry, probe._flat, probe.optics, probe.surface,
+                probe.intensity, probe.config) is not None
             return run_band(integrator, base_domain, kdist, source,
                             n_photons_per_batch, n_batches, seed=seed,
                             mesh=mesh, derive=derive,
-                            derive_token=derive_token, bake_fastpath=True,
+                            derive_token=derive_token,
+                            bake_fastpath=baked_fast,
                             integrator_cache=integrator_cache)
     if fuse_k:
         cache = integrator_cache if integrator_cache is not None else {}
@@ -127,10 +148,16 @@ def run_band(integrator: Integrator, base_domain: Domain, kdist: KDistribution,
                 intensity_mus=integrator._intensity_mus,
                 intensity_phis=integrator._intensity_phis,
                 gas_k=(profiles.T, kdist.weights))
-            cache[ckey] = (integ_f, kdist, base_domain)
-        stats = run_batches(integ_f, source, n_photons_per_batch, n_batches,
+        stats = run_batches(integ_f, source,
+                            n_photons_per_batch * kdist.n_k, n_batches,
                             seed=seed, mesh=mesh, derive=derive,
                             derive_token=derive_token)
+        if hit is None:
+            # Cache only after a successful dispatch: an ineligible
+            # workload raises inside run_batches (batch_tracer's gas_k
+            # guard), and auto-mode fallbacks must not leave an unusable
+            # fused integrator behind.
+            cache[ckey] = (integ_f, kdist, base_domain)
         return BandResult(mean=stats.mean, per_k=[],
                           wavelength_limits=kdist.wavelength_limits,
                           spectral_fraction=kdist.spectral_fraction,

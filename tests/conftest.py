@@ -31,6 +31,7 @@ SLOW_TESTS = [
     "test_spectral.py::test_broadband_fuse_k_matches_baked",
     "test_spectral.py::test_fuse_k_volume_absorption_matches_baked",
     "test_spectral.py::test_fuse_k_radiance_matches_baked",
+    "test_spectral.py::test_fuse_k_tabulated_cloud_matches_traced",
     "test_external_validation.py::test_step_cloud_anchor",
     "test_external_validation.py::test_conservative_slab_vs_oracle[18.0-0.5-65536-fast]",
     "test_external_validation.py::test_conservative_slab_vs_oracle[1.0-0.5-262144-fast]",
@@ -51,6 +52,7 @@ SLOW_TESTS = [
     "test_fastpath.py::test_tabulated_phase_radiance_on_fastpath",
     "test_fastpath.py::test_closed_shadow_matches_marching_trace",
     "test_fastpath.py::test_gas_channel_eligibility_and_closure",
+    "test_fastpath.py::test_gas_channel_tabulated_phase_matches_general",
     "test_fastpath.py::test_gas_radiance_matches_general_kernel",
     "test_fastpath.py::test_fastpath_refill_budget_exact",
     "test_fastpath.py::test_multi_entry_column_props_matches_general_kernel",

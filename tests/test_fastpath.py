@@ -50,6 +50,30 @@ def test_step_cloud_is_eligible():
     assert plan.fz.values == pytest.approx((18.0 / 250.0,), rel=1e-6)
 
 
+def test_file_round_trip_keeps_eligibility(tmp_path):
+    """write_domain -> read_domain must not demote the fastpath: the f32
+    storage of Legendre coefficients and extinctions once broke HG
+    detection (and with it every gas-channel/fused-spectral plan on
+    file-based scenes — the production .dom workflow)."""
+    from i3rc_tpu.integrators import spectral
+    from i3rc_tpu.integrators.integrator import Integrator
+    from i3rc_tpu.io.netcdf import read_domain, write_domain
+    from i3rc_tpu.models.step_cloud import make_step_cloud
+
+    write_domain(make_step_cloud(1.0), str(tmp_path / "sc.dom"))
+    dom = read_domain(str(tmp_path / "sc.dom"))
+    plan = _plan(Integrator.create(dom, config=FAST_CFG))
+    assert plan is not None and plan.hg_g == pytest.approx(0.85, abs=1e-6)
+    # With a gas component + detectors: the fused-spectral shape.
+    gas = np.full(dom.n_z, 2e-4)
+    integ = Integrator.create(
+        spectral.domain_with_gas_component(dom, gas), config=FAST_CFG,
+        intensity_mus=[1.0, 0.5], intensity_phis=[0.0, 0.0])
+    plan = _plan(integ)
+    assert plan is not None and plan.gas_factor is not None
+    assert plan.closed_shadow
+
+
 @pytest.mark.parametrize("kwargs,cfg", [
     # ray tracing transport is not expressible
     (dict(), IntegratorConfig(use_ray_tracing=True)),
@@ -331,6 +355,15 @@ def test_hg_detection_and_inversion():
         [PhaseFunction.from_legendre(np.array([0.7, 0.3]))], key=[1.0])
     assert detect_hg(not_hg) is None
 
+    # f32 round trip (netCDF stores coefficients as f32): the implied g^l
+    # error compounds linearly with the order, and a flat tolerance used to
+    # reject every file-read HG domain at l >~ 20, silently demoting .dom
+    # workflows off the HG/Pallas fastpath.
+    c64 = henyey_greenstein_coefficients(0.85, 64)
+    rounded = PhaseFunctionTable.from_phase_functions(
+        [PhaseFunction.from_legendre(np.float64(np.float32(c64)))], key=[1.0])
+    assert detect_hg(rounded) == pytest.approx(0.85, abs=1e-6)
+
     # Inversion: mean of sampled cosines is g; CDF round-trips.
     g = 0.85
     u = np.linspace(1e-6, 1.0 - 1e-6, 20001)
@@ -446,6 +479,74 @@ def test_gas_channel_eligibility_and_closure():
         np.ones((1, 1, nz)), np.zeros((1, 1, nz), np.int32), table)
     integ2 = Integrator.create(dom2, config=FAST_CFG)
     assert _plan(integ2) is None
+
+
+def _c1_gas_domain(nz=4, with_gas=True):
+    """Tabulated (C.1) cloud slab, optionally + uniform gas absorber —
+    the production broadband shape (Mie cloud + k-distribution gas)."""
+    from i3rc_tpu.core.optics import Domain
+    from i3rc_tpu.core.phase_functions import PhaseFunctionTable
+    from i3rc_tpu.integrators.spectral import domain_with_gas_component
+    from i3rc_tpu.models.radar_cloud import load_c1_tabulated
+
+    table = PhaseFunctionTable.from_phase_functions([load_c1_tabulated()],
+                                                    key=[1.0])
+    dom = Domain.create([0, 500.0], [0, 500.0], np.linspace(0, 250, nz + 1))
+    ext = np.full((1, 1, nz), 2.0 / 250.0)
+    dom = dom.add_component("cloud", ext, np.ones_like(ext),
+                            np.zeros(ext.shape, np.int32), table)
+    if with_gas:
+        dom = domain_with_gas_component(dom, np.full(nz, 0.5 / 250.0))
+    return dom
+
+
+def test_gas_channel_tabulated_phase_eligibility():
+    """Non-HG (tabulated) cloud + gas absorber elects the fastpath with
+    BOTH the cubic sampler and the gas chain; detectors additionally get
+    the closed shadow trace + forward cubic."""
+    from i3rc_tpu.integrators.integrator import Integrator
+
+    cfg = IntegratorConfig(use_ray_tracing=False, max_events=2000,
+                           compute_volume_absorption=False)
+    integ = Integrator.create(_c1_gas_domain(), config=cfg)
+    plan = _plan(integ)
+    assert plan is not None
+    assert plan.cubic is not None and plan.gas_factor is not None
+    integ_d = Integrator.create(_c1_gas_domain(), config=cfg,
+                                intensity_mus=[1.0, 0.5],
+                                intensity_phis=[0.0, 0.0])
+    plan_d = _plan(integ_d)
+    assert plan_d is not None and plan_d.closed_shadow
+    assert plan_d.fwd_cubic is not None and plan_d.gas_factor is not None
+
+
+def test_gas_channel_tabulated_phase_matches_general():
+    """Flux + radiance cross-check of the tabulated-cloud + gas fastpath
+    against the general kernel (same physics, independent kernels)."""
+    from i3rc_tpu.integrators.integrator import Integrator
+
+    n = 1 << 16
+    src = PhotonSource.directional(0.5, 0.0)
+    det = dict(intensity_mus=[1.0, 0.5], intensity_phis=[0.0, 0.0])
+    fast = Integrator.create(_c1_gas_domain(), config=IntegratorConfig(
+        use_ray_tracing=False, max_events=2000,
+        compute_volume_absorption=False), **det)
+    assert _plan(fast) is not None
+    gen = Integrator.create(_c1_gas_domain(), config=IntegratorConfig(
+        use_ray_tracing=False, max_events=2000,
+        compute_volume_absorption=False, majorant_block_size=4,
+        use_fastpath=False), **det)
+    rf = fast.batch_fn(src, n)(jax.random.PRNGKey(61))
+    rg = gen.batch_fn(src, n)(jax.random.PRNGKey(62))
+    s2 = np.sqrt(2 * 0.25 / n)
+    for name in ("mean_flux_up", "mean_flux_down", "mean_flux_absorbed"):
+        assert float(getattr(rf, name)) == pytest.approx(
+            float(getattr(rg, name)), abs=5 * s2), name
+    # C.1's forward peak makes single-seed local-estimate radiances noisy
+    # (~2-3% stderr at 2^16; measured no bias over 8 seeds, diff < 1 sigma).
+    # 0.15 is ~5 sigma — a missing gas shadow tau would bias by ~40%.
+    np.testing.assert_allclose(np.asarray(rf.mean_intensity),
+                               np.asarray(rg.mean_intensity), rtol=0.15)
 
 
 def test_fastpath_refill_budget_exact():

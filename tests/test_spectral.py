@@ -5,6 +5,8 @@ point is exact Beer-Lambert, so the broadband transmission is the weighted
 sum  T = sum_b f_b sum_k w_bk exp(-tau_bk / mu0)  in closed form.
 """
 
+from dataclasses import replace
+
 import jax
 import numpy as np
 import pytest
@@ -331,10 +333,61 @@ def test_fuse_k_volume_absorption_matches_baked():
         assert vint == pytest.approx(fabs, rel=2e-5, abs=1e-6)
 
 
+def test_fuse_k_tabulated_cloud_matches_traced():
+    """Fused-k with a TABULATED (non-HG, C.1) cloud — the production
+    broadband class (Mie cloud + k-distribution gas) — against the
+    traced-override general-kernel loop: fluxes and radiances agree."""
+    from i3rc_tpu.core.illumination import PhotonSource
+    from i3rc_tpu.core.optics import Domain
+    from i3rc_tpu.integrators.integrator import Integrator
+    from i3rc_tpu.integrators.spectral import (
+        domain_with_gas_component,
+        run_band,
+    )
+    from i3rc_tpu.models.radar_cloud import load_c1_tabulated
+
+    table = PhaseFunctionTable.from_phase_functions([load_c1_tabulated()],
+                                                    key=[1.0])
+    nz = 4
+    dom = Domain.create([0, 500.0], [0, 500.0], np.linspace(0, 250, nz + 1))
+    ext = np.full((1, 1, nz), 2.0 / 250.0)
+    dom = dom.add_component("cloud", ext, np.ones_like(ext),
+                            np.zeros(ext.shape, np.int32), table)
+    z = np.asarray(dom.z_edges)
+    kd = KDistribution.create(
+        z, np.broadcast_to([[0.3, 3.0]], (nz, 2)).copy() / 250.0, [0.7, 0.3],
+        spectral_fraction=1.0)
+    src = PhotonSource.directional(0.5, 0.0)
+    cfg = IntegratorConfig(use_ray_tracing=False, max_events=2000,
+                           compute_volume_absorption=False)
+    det = dict(intensity_mus=[1.0, 0.5], intensity_phis=[0.0, 0.0])
+    integ_f = Integrator.create(
+        domain_with_gas_component(dom, kd.absorption_profiles_on(z)[:, 0]),
+        config=cfg, **det)
+    n = 1 << 14
+    fused = run_band(integ_f, dom, kd, src, n, 4, seed=7, fuse_k=True,
+                     integrator_cache={})
+    assert fused.per_k == []    # really took the fused dispatch
+    integ_g = Integrator.create(
+        domain_with_gas_component(dom, kd.absorption_profiles_on(z)[:, 0]),
+        config=replace(cfg, use_fastpath=False, majorant_block_size=4),
+        **det)
+    traced = run_band(integ_g, dom, kd, src, n, 4, seed=5)
+    for f in ("flux_up", "flux_down", "flux_absorbed"):
+        a = float(np.asarray(getattr(fused.mean, f)).mean())
+        b = float(np.asarray(getattr(traced.mean, f)).mean())
+        se = np.hypot(float(np.asarray(getattr(fused.stderr, f)).mean()),
+                      float(np.asarray(getattr(traced.stderr, f)).mean()))
+        assert abs(a - b) < 5 * se + 5e-4, (f, a, b, se)
+    i_f = np.asarray(fused.mean.intensity).reshape(-1, 2).mean(0)
+    i_g = np.asarray(traced.mean.intensity).reshape(-1, 2).mean(0)
+    np.testing.assert_allclose(i_f, i_g, rtol=0.15)
+
+
 def test_fuse_k_auto_fallback():
     """fuse_k='auto': fused dispatch when the band is eligible (per_k is
-    empty — batches are whole-band samples), per-k baked fallback when it
-    is not (non-separable 3-D cloud; per_k holds each k's stats)."""
+    empty — batches are whole-band samples), per-k fallback when it is
+    not (non-separable 3-D cloud; per_k holds each k's stats)."""
     from i3rc_tpu.core.illumination import PhotonSource
     from i3rc_tpu.core.optics import Domain
     from i3rc_tpu.integrators.integrator import Integrator
@@ -379,9 +432,14 @@ def test_fuse_k_auto_fallback():
     integ3 = Integrator.create(
         domain_with_gas_component(dom3, kd3.absorption_profiles_on(z3)[:, 0]),
         config=cfg)
+    cache3 = {}
     band3 = run_band(integ3, dom3, kd3, src, 4096, 2, seed=3, fuse_k="auto",
-                     integrator_cache={})
+                     integrator_cache=cache3)
     assert len(band3.per_k) == 2
+    # No fastpath plan exists for this cloud, so the fallback must be the
+    # traced-override loop (ONE executable for all k), not per-k baked
+    # general-kernel recompiles — observable as an untouched cache.
+    assert cache3 == {}
     closure = sum(float(np.asarray(getattr(band3.mean, f)).mean())
                   for f in ("flux_up", "flux_down", "flux_absorbed"))
     assert closure == pytest.approx(1.0, rel=2e-2)
@@ -442,7 +500,7 @@ def test_fuse_k_radiance_matches_baked():
         config=cfg, intensity_mus=[1.0, 0.5, -0.5],
         intensity_phis=[0.0, 0.0, 0.0], surface_albedo=0.3)
     n = 1 << 12
-    fused = run_band(integ, dom, kd, src, 2 * n, 3, seed=7, fuse_k=True,
+    fused = run_band(integ, dom, kd, src, n, 3, seed=7, fuse_k=True,
                      integrator_cache={})
     baked = run_band(integ, dom, kd, src, n, 3, seed=5, bake_fastpath=True,
                      integrator_cache={})
