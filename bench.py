@@ -377,7 +377,11 @@ def main():
                 import jax.extend
                 jax.extend.backend.clear_backends()
             except Exception:
-                pass
+                if "fell back to CPU" in str(e):
+                    # The CPU backend is now cached; without clear_backends
+                    # every retry would see the same cached platform, so
+                    # there is nothing to wait for.
+                    raise
             print(f"# device init UNAVAILABLE (attempt {attempt + 1}/10); "
                   f"retrying in 60 s", file=sys.stderr)
             time.sleep(60)

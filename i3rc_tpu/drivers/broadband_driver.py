@@ -44,8 +44,8 @@ from i3rc_tpu.parallel.mesh import default_mesh
 from i3rc_tpu.utils.namelist import read_namelist
 
 
-def _get(groups, group, name, default):
-    return groups.get(group, {}).get(name, default)
+from i3rc_tpu.drivers.nml_common import get as _get
+from i3rc_tpu.drivers.nml_common import intensity_directions
 
 
 def _listify(v):
@@ -107,10 +107,8 @@ def run_from_namelist(namelist_path: str, quiet: bool = False) -> dict:
         raise ValueError("bandDomainFiles must match kDistributionFiles "
                          f"({len(band_dom_files)} vs {len(kd_files)})")
 
-    active = np.abs(intensity_mus) > 0.0
-    compute_intensity = bool(active.any()) and (bool(out_rad) or bool(out_netcdf))
-    mus = intensity_mus[active] if compute_intensity else None
-    phis = intensity_phis[: intensity_mus.size][active] if compute_intensity else None
+    mus, phis, compute_intensity = intensity_directions(
+        intensity_mus, intensity_phis, bool(out_rad) or bool(out_netcdf))
 
     kds = [read_k_distribution(p) for p in kd_files]
     band_domains = ([read_domain(p) for p in band_dom_files]
@@ -131,12 +129,31 @@ def run_from_namelist(namelist_path: str, quiet: bool = False) -> dict:
     if not quiet:
         print(f"Setup time (secs, approx): {t_setup:.1f}")
 
+    # Domain means are accumulated PER BATCH (derive), so their standard
+    # error is the batch spread of the mean — the reference's separate
+    # domain-mean accumulators (monteCarloDriver.f95:300-305).  Deriving
+    # them from the per-pixel stderr map would overstate the error by
+    # ~sqrt(n_pixels) (pixel errors are not independent within a batch).
+    def derive(res):
+        out = {
+            "mean_flux_up": res.mean_flux_up,
+            "mean_flux_down": res.mean_flux_down,
+            "mean_flux_absorbed": res.mean_flux_absorbed,
+            "absorbed_profile": res.absorbed_profile,
+        }
+        if compute_intensity:
+            out["mean_intensity"] = res.mean_intensity
+        return out
+
     cache: dict = {}
     broadband, bands = run_broadband(
         base_domain, kds, source, n_photons, n_batches, seed=iseed,
         mesh=mesh, config=config, surface_albedo=surface_albedo,
         intensity_mus=mus, intensity_phis=phis, band_domains=band_domains,
-        integrator_cache=cache, **_MODE_KW[mode])
+        integrator_cache=cache, derive=derive,
+        derive_token=("broadband_driver_means", compute_intensity),
+        **_MODE_KW[mode])
+    broadband_res, broadband_der = broadband["results"], broadband["derived"]
     # Broadband standard error: bands are independent runs, so the
     # spectral-fraction-weighted band stderrs add in quadrature (the
     # reference's (value, StdErr) contract, monteCarloDriver.f95:358-378).
@@ -149,6 +166,7 @@ def run_from_namelist(namelist_path: str, quiet: bool = False) -> dict:
         bb_var = contrib if bb_var is None else jax.tree.map(
             lambda a, b: a + b, bb_var, contrib)
     bb_err = jax.tree.map(jax.numpy.sqrt, bb_var)
+    bb_err_res, bb_err_der = bb_err["results"], bb_err["derived"]
     t_total = time.perf_counter() - t0
     if not quiet:
         print(f"Total time (secs, approx): {t_total:.1f}")
@@ -177,20 +195,20 @@ def run_from_namelist(namelist_path: str, quiet: bool = False) -> dict:
                max_intensity=config.max_intensity_contribution,
                n_phase_intervals=config.min_forward_table_size)
 
-    flux_up = (np_(broadband.flux_up), np_(bb_err.flux_up))
-    flux_down = (np_(broadband.flux_down), np_(bb_err.flux_down))
-    flux_abs = (np_(broadband.flux_absorbed), np_(bb_err.flux_absorbed))
-    mean_stats = [(float(a[0].mean()), float(np.sqrt((a[1] ** 2).mean())))
-                  for a in (flux_up, flux_down, flux_abs)]
-    radiance = ((np_(broadband.intensity), np_(bb_err.intensity))
+    flux_up = (np_(broadband_res.flux_up), np_(bb_err_res.flux_up))
+    flux_down = (np_(broadband_res.flux_down), np_(bb_err_res.flux_down))
+    flux_abs = (np_(broadband_res.flux_absorbed), np_(bb_err_res.flux_absorbed))
+    mean_stats = [(float(np_(broadband_der[k])), float(np_(bb_err_der[k])))
+                  for k in ("mean_flux_up", "mean_flux_down",
+                            "mean_flux_absorbed")]
+    radiance = ((np_(broadband_res.intensity), np_(bb_err_res.intensity))
                 if compute_intensity else None)
+    volume = (np_(broadband_res.volume_absorption),
+              np_(bb_err_res.volume_absorption))
     # Layer-mean absorption profile, per meter (Results.absorbed_profile
-    # convention: horizontal mean of the per-cell volume tally).
-    nz = z_edges.size - 1
-    volume = (np_(broadband.volume_absorption), np_(bb_err.volume_absorption))
-    n_col = max(volume[0].size // nz, 1)
-    profile = (volume[0].reshape(-1, nz).mean(axis=0),
-               np.sqrt((volume[1].reshape(-1, nz) ** 2).sum(axis=0)) / n_col)
+    # convention), with its batch-derived stderr.
+    profile = (np_(broadband_der["absorbed_profile"]),
+               np_(bb_err_der["absorbed_profile"]))
 
     if jax.process_index() == 0:
         if out_flux:
@@ -213,9 +231,11 @@ def run_from_namelist(namelist_path: str, quiet: bool = False) -> dict:
         if not quiet:
             for band in bands:
                 lam = band.wavelength_limits
-                print(f"  band {lam[0]:.3f}-{lam[1]:.3f}um  f={band.spectral_fraction:.3f}  "
-                      f"Fup {float(np.asarray(band.mean.flux_up).mean()):.4f}"
-                      f" +- {float(np.asarray(band.stderr.flux_up).mean()):.4f}")
+                bm = float(np.asarray(band.mean["derived"]["mean_flux_up"]))
+                be = float(np.asarray(band.stderr["derived"]["mean_flux_up"]))
+                print(f"  band {lam[0]:.3f}-{lam[1]:.3f}um  "
+                      f"f={band.spectral_fraction:.3f}  "
+                      f"Fup {bm:.4f} +- {be:.4f}")
             print("Wrote results")
 
     return {"cfg": cfg, "mean_stats": mean_stats, "flux_up": flux_up,

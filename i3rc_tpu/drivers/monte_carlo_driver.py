@@ -28,8 +28,8 @@ from i3rc_tpu.utils.namelist import read_namelist
 from i3rc_tpu.drivers import results_io
 
 
-def _get(groups, group, name, default):
-    return groups.get(group, {}).get(name, default)
+from i3rc_tpu.drivers.nml_common import get as _get
+from i3rc_tpu.drivers.nml_common import intensity_directions
 
 
 def run_from_namelist(namelist_path: str, quiet: bool = False) -> dict:
@@ -79,10 +79,8 @@ def run_from_namelist(namelist_path: str, quiet: bool = False) -> dict:
     out_netcdf = str(_get(g, "filenames", "outputnetcdffile", ""))
 
     # Intensity directions: nonzero mus count (:151-154)
-    active = np.abs(intensity_mus) > 0.0
-    compute_intensity = bool(active.any()) and (bool(out_rad) or bool(out_netcdf))
-    mus = intensity_mus[active] if compute_intensity else None
-    phis = intensity_phis[: intensity_mus.size][active] if compute_intensity else None
+    mus, phis, compute_intensity = intensity_directions(
+        intensity_mus, intensity_phis, bool(out_rad) or bool(out_netcdf))
 
     # --- domain + integrator ------------------------------------------------
     domain = read_domain(domain_file)

@@ -156,9 +156,10 @@ class Integrator:
         ``gas_k=(profiles, weights)`` with profiles (n_k, n_z) enables fused
         spectral-k batching: the domain must carry the gas-channel shape
         (spectral.domain_with_gas_component); every k point of the band
-        then traces in one dispatch (fastpath.GasKTables).  Fluxes and
-        radiance detectors are supported (detectors need closed-shadow
-        eligibility); volume absorption is not.
+        then traces in one dispatch (fastpath.GasKTables).  Fluxes,
+        radiance detectors (closed-shadow-eligible plans), and volume
+        absorption (gas deaths invert the lane's cumulative gas depth for
+        their exact cell) are all supported.
         """
         config = (config or IntegratorConfig()).validate()
         s = Status()

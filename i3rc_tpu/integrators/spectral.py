@@ -100,12 +100,27 @@ def run_band(integrator: Integrator, base_domain: Domain, kdist: KDistribution,
     """
     profiles = kdist.absorption_profiles_on(np.asarray(base_domain.z_edges))
     if fuse_k == "auto":
-        try:
+        # Memoize the eligibility decision: an ineligible workload would
+        # otherwise pay the failed fused Integrator.create plus a probe
+        # build on EVERY band run of a production spectral loop.
+        dkey = ("auto_decision", id(kdist), id(base_domain))
+        if integrator_cache is not None and dkey in integrator_cache:
+            decision = integrator_cache[dkey][0]
             return run_band(integrator, base_domain, kdist, source,
+                            n_photons_per_batch, n_batches, seed=seed,
+                            mesh=mesh, derive=derive,
+                            derive_token=derive_token,
+                            integrator_cache=integrator_cache, **decision)
+        try:
+            band = run_band(integrator, base_domain, kdist, source,
                             n_photons_per_batch, n_batches, seed=seed,
                             mesh=mesh, derive=derive,
                             derive_token=derive_token, fuse_k=True,
                             integrator_cache=integrator_cache)
+            if integrator_cache is not None:
+                integrator_cache[dkey] = (dict(fuse_k=True), kdist,
+                                          base_domain)
+            return band
         except ValueError:
             # Fused ineligible.  Per-k baking only pays when the baked
             # integrator elects the gas-channel fastpath; when it would
@@ -123,6 +138,9 @@ def run_band(integrator: Integrator, base_domain: Domain, kdist: KDistribution,
             baked_fast = _fp.fast_plan(
                 probe.geometry, probe._flat, probe.optics, probe.surface,
                 probe.intensity, probe.config) is not None
+            if integrator_cache is not None:
+                integrator_cache[dkey] = (dict(bake_fastpath=baked_fast),
+                                          kdist, base_domain)
             return run_band(integrator, base_domain, kdist, source,
                             n_photons_per_batch, n_batches, seed=seed,
                             mesh=mesh, derive=derive,

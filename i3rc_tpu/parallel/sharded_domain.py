@@ -666,8 +666,11 @@ def trace_sharded(domain, source, n_photons: int, mesh: Mesh,
         if D:
             # Undelivered radiance contributions (records still pending,
             # rays still in flight) count as bad when the block cap hit.
+            # Lanes already counted above (alive / migration-tagged) are
+            # excluded so a frozen live photon is not double-counted.
             qs = carry["qs"]
-            n_bad = n_bad + (jnp.sum(carry["st"][12].astype(jnp.int32))
+            pend_only = carry["st"][12] & ~(alive | (tag != 0))
+            n_bad = n_bad + (jnp.sum(pend_only.astype(jnp.int32))
                              + jnp.sum((qs[0] | (qs[7] != 0))
                                        .astype(jnp.int32))
                              + jnp.sum(carry["q_inbox_n"]))

@@ -190,11 +190,16 @@ def test_broadband_driver(tmp_path):
     dz = 0.25
     assert float(out["profile"][0].sum()) * dz == pytest.approx(
         m[2][0], rel=1e-3)
-    # Both bands reported with finite stderr.
+    # Both bands reported with finite stderr, and the domain-mean StdErr is
+    # the batch-derived statistic (NOT the rms of per-pixel stderrs, which
+    # overstates it by ~sqrt(n_pixels) — the monteCarloDriver contract).
     assert len(out["bands"]) == 2
     for band in out["bands"]:
-        se = float(np.asarray(band.stderr.flux_down).mean())
+        se = float(np.asarray(band.stderr["results"].flux_down).mean())
         assert np.isfinite(se) and se > 0
+        assert np.isfinite(
+            float(np.asarray(band.stderr["derived"]["mean_flux_down"])))
+    assert 0 < m[1][1] < 0.1    # domain-mean Fdn stderr, sane magnitude
 
 
 def test_broadband_driver_namelist_validation(tmp_path):

@@ -438,11 +438,22 @@ def test_fuse_k_auto_fallback():
     assert len(band3.per_k) == 2
     # No fastpath plan exists for this cloud, so the fallback must be the
     # traced-override loop (ONE executable for all k), not per-k baked
-    # general-kernel recompiles — observable as an untouched cache.
-    assert cache3 == {}
+    # general-kernel recompiles: the cache holds only the memoized auto
+    # decision (so later band runs skip the failed-fused probe), never a
+    # baked per-k integrator.
+    assert list(cache3) == [("auto_decision", id(kd3), id(dom3))]
+    assert cache3[("auto_decision", id(kd3), id(dom3))][0] == {
+        "bake_fastpath": False}
     closure = sum(float(np.asarray(getattr(band3.mean, f)).mean())
                   for f in ("flux_up", "flux_down", "flux_absorbed"))
     assert closure == pytest.approx(1.0, rel=2e-2)
+    # Second run of the same band: decision served from the cache (no new
+    # entries, same statistics).
+    band3b = run_band(integ3, dom3, kd3, src, 4096, 2, seed=3, fuse_k="auto",
+                      integrator_cache=cache3)
+    assert len(cache3) == 1
+    np.testing.assert_allclose(np.asarray(band3b.mean.flux_up),
+                               np.asarray(band3.mean.flux_up))
 
 
 def test_fuse_k_rejects_override():
