@@ -116,13 +116,16 @@ def run_landsat(jax, scale):
     from i3rc_tpu.integrators.integrator import Integrator
     from i3rc_tpu.models.landsat_cloud import make_landsat_cloud
 
-    n_photons = (1 << 22) // scale
+    # Tuned column-mode shape (PERF_NOTES.md round-3 column ledger): narrow
+    # wavefront (2^15 lanes), deep K=32 event blocks, big dispatch — the
+    # factored one-hot column read scales super-linearly with lane count.
+    n_photons = (1 << 23) // scale
     integ = Integrator.create(
         make_landsat_cloud(1.0),
         config=IntegratorConfig(use_ray_tracing=False, max_events=500,
                                 compute_volume_absorption=False))
     fn = integ.batch_fn(PhotonSource.directional(0.5, 0.0), n_photons,
-                        n_lanes=min(1 << 17, n_photons))
+                        n_lanes=min(1 << 15, n_photons))
     key = jax.random.key(2, impl="rbg")
     res = fn(jax.random.fold_in(key, 99))
     _drain(res.flux_up)

@@ -84,10 +84,13 @@ class IntegratorConfig:
     # different RNG event stream.  fastpath_unroll = events per tally/refill
     # block (the deferred-tally period K).
     use_fastpath: bool = True
-    # 8 = the compile-time sweet spot (Mosaic compiles the unrolled event
-    # block in ~2 min; K=16 gains +3% throughput for ~5 min of compile —
-    # worth it only for long production runs).
-    fastpath_unroll: int = 8
+    # 0 = auto: 8 for separable media (the Mosaic compile-time sweet spot —
+    # the unrolled event block compiles in ~2 min; K=16 gains +3% for ~5 min
+    # of compile), 32 for column media (XLA path, no Mosaic compile cost;
+    # the gather-bound event loop amortizes its flush/refill and loop fixed
+    # costs over the longer block — measured 1.5 -> 2.1 M photons/s on the
+    # full Landsat scene, PERF_NOTES.md round-3 column ledger).
+    fastpath_unroll: int = 0
     # Segment-march depth: crossings consumed per event before/until the
     # collision.  >1 pays only in crossing-dominated media; on the I3RC
     # step cloud collisions dominate (the tau=18 half), so every extra

@@ -594,8 +594,10 @@ def fast_plan(geom, flat, optics, surface, intensity, config) -> FastPlan | None
             if shadow_steps > 24:
                 return None
 
+    unroll = int(getattr(config, "fastpath_unroll", 0)) or (
+        32 if column_data is not None else 8)
     return FastPlan(fx=fx, fy=fy, fz=fz,
-                    hg_g=g, unroll=int(getattr(config, "fastpath_unroll", 8)),
+                    hg_g=g, unroll=unroll,
                     detectors=detectors, shadow_steps=shadow_steps,
                     column_data=column_data, ssa=uniform_ssa,
                     gas_factor=gas_factor, gas_idx=gas_idx,
@@ -754,7 +756,12 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
                      n_lanes: int | None = None):
     """Build trace(key, batch, source) -> RawTallies for the fast plan."""
     n_x, n_y, n_z = geom.n_x, geom.n_y, geom.n_z
-    L = int(n_lanes or min(n_photons, 1 << 20))
+    # Column media default to narrow wavefronts: their per-event factored
+    # one-hot column read scales super-linearly with lane count (2^15 lanes
+    # measured 1.5x the throughput of 2^17 on the full Landsat scene —
+    # PERF_NOTES.md round-3 column ledger); separable media stay wide.
+    default_l = (1 << 15) if plan.column_data is not None else (1 << 20)
+    L = int(n_lanes or min(n_photons, default_l))
     K = max(1, plan.unroll)
     x0, y0, z0 = geom.x0, geom.y0, geom.z0
     x_max, y_max, z_max = geom.x_max, geom.y_max, geom.z_max
