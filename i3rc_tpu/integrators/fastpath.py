@@ -627,7 +627,7 @@ def hg_phase(g: float, cos_theta):
 def _build_pallas_block(fast_event, track_y: bool, L: int, K: int,
                         interpret: bool = False, blk_rows: int | None = None,
                         vmem_mb: int | None = None, n_draws: int = 3,
-                        gas: bool = False):
+                        gas: bool = False, n_detectors: int = 0):
     """Mosaic kernel running K fast_event steps with VMEM-resident state.
 
     The wavefront state (13 per-lane arrays) is tiled (rows, 128) and
@@ -638,8 +638,20 @@ def _build_pallas_block(fast_event, track_y: bool, L: int, K: int,
     seeded per (batch-key words, grid program), one (BLK, 128) draw per use
     (3 per event), uint32 -> [0,1) via the top-24-bit ladder.
 
-    Returns block_fn(seed2 (1,2) i32, state_tuple) -> state_tuple operating
-    on the XLA-side (L,)-shaped state (reshapes at the boundary are free).
+    ``n_detectors`` > 0 runs local-estimate radiance INSIDE the event block
+    (closed-shadow HG plans only; see make_fast_tracer's gating): every
+    collision's per-detector contribution and shadow-exit column are
+    recorded to K x D output pairs instead of tallied in-kernel — the
+    per-block XLA glue replays the records through the same one-hot tally
+    the XLA fastpath uses per event.  Same estimator, same expectation;
+    the tally work just leaves the hot loop, whose per-event cost stays
+    within ~2x of the flux kernel (the closed shadow trace is ~40
+    elementwise ops per detector).
+
+    Returns block_fn(seed2 (1,2) i32, state_tuple) -> state_tuple (plus,
+    with detectors, a list of K*D (contribution (L,), column (L,)) record
+    pairs in event-major order) operating on the XLA-side (L,)-shaped
+    state (reshapes at the boundary are free).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -677,8 +689,12 @@ def _build_pallas_block(fast_event, track_y: bool, L: int, K: int,
         x = (x ^ (x >> jnp.uint32(15))) * jnp.uint32(0x846CA68B)
         return _to_unit(x ^ (x >> jnp.uint32(16)))
 
+    ND = int(n_detectors)
+
     def kernel(seed_ref, *refs):
-        ins, outs = refs[:n_state], refs[n_state:]
+        ins = refs[:n_state]
+        outs = refs[n_state:2 * n_state]
+        rec_refs = refs[2 * n_state:]
         # Mosaic accepts at most two seed words: mix the grid program into
         # the second (odd-constant multiply decorrelates adjacent programs).
         pid = pl.program_id(0)
@@ -702,9 +718,16 @@ def _build_pallas_block(fast_event, track_y: bool, L: int, K: int,
         # Python-unrolled event loop.  (A lax.fori_loop body was tried to
         # bound register liveness for K>=32; it hangs Mosaic compilation —
         # the unrolled form with the raised VMEM cap is the working shape.)
+        records = []
+        sink = records.append if ND else None
+        det_sink = (lambda d, c, col: sink((c, col))) if ND else None
         for j in range(K):
             st = fast_event(tuple(draw(n_draws * j + i)
-                                  for i in range(n_draws)), st)
+                                  for i in range(n_draws)), st,
+                            det_sink=det_sink)
+        for i, (c_, col_) in enumerate(records):
+            rec_refs[2 * i][...] = c_
+            rec_refs[2 * i + 1][...] = col_
         (alive, x, y, z, ux, uy, uz, tau, orders, pk, bad, evct, _) = st[:13]
         new = {"alive": alive.astype(i32), "x": x, "z": z, "ux": ux,
                "uy": uy, "uz": uz, "tau": tau, "orders": orders,
@@ -717,13 +740,15 @@ def _build_pallas_block(fast_event, track_y: bool, L: int, K: int,
             ref[...] = new[name]
 
     spec = pl.BlockSpec((BLK, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    rec_shapes = [jax.ShapeDtypeStruct((R, 128), f32 if i % 2 == 0 else i32)
+                  for i in range(2 * K * ND)]
     call = pl.pallas_call(
         kernel,
         grid=(n_grid,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [spec] * n_state,
-        out_specs=[spec] * n_state,
+        out_specs=[spec] * (n_state + 2 * K * ND),
         out_shape=[jax.ShapeDtypeStruct((R, 128), i32 if n in int_fields else f32)
-                   for n in fields],
+                   for n in fields] + rec_shapes,
         input_output_aliases={i + 1: i for i in range(n_state)},
         # Off-TPU (tests): the TPU-semantics interpreter, which emulates the
         # Mosaic primitives (hardware PRNG included), unlike interpret=True.
@@ -743,11 +768,16 @@ def _build_pallas_block(fast_event, track_y: bool, L: int, K: int,
         if gas:
             args["tgas"] = st[13]
         outs = call(seed2, *[args[n].reshape(R, 128) for n in fields])
-        new = {n: o.reshape(L) for n, o in zip(fields, outs)}
-        return (new["alive"] != 0, new["x"], new["y"] if track_y else y,
-                new["z"], new["ux"], new["uy"], new["uz"], new["tau"],
-                new["orders"], new["pk"], new["bad"],
-                new["evct"], acc_int) + ((new["tgas"],) if gas else ())
+        new = {n: o.reshape(L) for n, o in zip(fields, outs[:n_state])}
+        state = (new["alive"] != 0, new["x"], new["y"] if track_y else y,
+                 new["z"], new["ux"], new["uy"], new["uz"], new["tau"],
+                 new["orders"], new["pk"], new["bad"],
+                 new["evct"], acc_int) + ((new["tgas"],) if gas else ())
+        if ND:
+            rec = outs[n_state:]
+            return state, [(rec[2 * i].reshape(L), rec[2 * i + 1].reshape(L))
+                           for i in range(K * ND)]
+        return state
 
     return block_fn
 
@@ -1180,7 +1210,7 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
     bonus_base = n_draws
     n_draws += CHAIN * bonus_draws
 
-    def fast_event(u, st, gas=None):
+    def fast_event(u, st, gas=None, det_sink=None):
         (alive, x, y, z, ux, uy, uz, tau_rem, orders, pk, bad, evct,
          acc_int) = st[:13]
         idx_extra = 13
@@ -1428,6 +1458,13 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
                     # the flux tallies (flush): the detector fields
                     # accumulate the weighted band sum directly.
                     contrib = contrib * gk_lane_w
+                if det_sink is not None:
+                    # Mosaic event block: record (contribution, exit column)
+                    # per detector; the per-block XLA glue tallies the
+                    # records (same expectation, the one-hot tally just
+                    # moves off the hot loop — see _build_pallas_block).
+                    det_sink(d, contrib, col_d)
+                    continue
                 vals = jnp.stack([contrib if j == d else jnp.zeros_like(contrib)
                                   for j in range(D)], axis=1)
                 acc_int = tally_multi(acc_int, col_d, vals)
@@ -1553,13 +1590,24 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
         want_pallas = jax.default_backend() == "tpu"
     # gas_k stays on the XLA fastpath: its per-lane one-hot endpoint read
     # inside the Mosaic kernel would re-create the tiny-dot chains that
-    # killed pallas take one (PERF_NOTES.md).
-    use_pallas = (want_pallas and D == 0 and not column_mode
+    # killed pallas take one (PERF_NOTES.md).  Radiance detectors ride the
+    # Mosaic kernel when the shadow trace is closed-form and the phase
+    # value is analytic HG (no table reads in the event step): collisions
+    # record (contribution, exit column) pairs that the per-block glue
+    # tallies — see _build_pallas_block(n_detectors).
+    # (Gas-channel plans qualify too: fast_plan only admits gas + detectors
+    # with closed-trace eligibility, and shadow_closed folds the baked gas
+    # profile's vertical segments in as pure elementwise work.)
+    pallas_detectors = bool(D) and plan.closed_shadow and not fwd_mode \
+        and plan.cubic is None
+    use_pallas = (want_pallas and (D == 0 or pallas_detectors)
+                  and not column_mode
                   and not table_mode and not gask_mode and L % 1024 == 0)
     if use_pallas:
         import os
         pallas_block = _build_pallas_block(
             fast_event, track_y, L, K, n_draws=n_draws, gas=gas_mode,
+            n_detectors=D if pallas_detectors else 0,
             interpret=jax.default_backend() != "tpu",
             # Tuning knobs (measured optimum baked in as defaults; the env
             # vars exist for perf experiments on new hardware).
@@ -1831,7 +1879,18 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
                     jax.random.key_data(jax.random.fold_in(key, kb)),
                     jnp.int32).ravel()
                 seed2 = jnp.stack([kd[0], kd[-1]]).reshape(1, 2)
-                st = pallas_block(seed2, st)
+                if pallas_detectors:
+                    st, recs = pallas_block(seed2, st)
+                    # Replay the K x D recorded (contribution, column)
+                    # pairs through the flat per-detector one-hot tally —
+                    # identical expectation to the XLA fastpath's per-event
+                    # tally_multi, off the hot loop.
+                    af = st[12].reshape(n_cols * D, 1)
+                    for i, (c_, col_) in enumerate(recs):
+                        af = tally_multi(af, col_ * D + (i % D), c_[:, None])
+                    st = st[:12] + (af.reshape(n_cols, D),) + st[13:]
+                else:
+                    st = pallas_block(seed2, st)
             else:
                 # Per-event RNG dispatch: XLA keeps each (3, L) draw
                 # VMEM-resident (a single (K, 3, L) block draw was measured

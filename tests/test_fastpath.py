@@ -688,6 +688,39 @@ def test_step_factor_lookup():
     np.testing.assert_allclose(np.asarray(f(pos)), [10, 20, 20, 30, 30])
 
 
+def test_auto_unroll_defaults():
+    """fastpath_unroll=0 (the default) resolves to 8 for separable plans
+    (the Mosaic compile-time sweet spot) and 32 for column plans (XLA
+    path; deeper blocks amortize the gather-bound loop's fixed costs —
+    measured 1.5 -> 2.1 M photons/s on Landsat, PERF_NOTES.md)."""
+    from i3rc_tpu.core.optics import Domain
+    from i3rc_tpu.core.phase_functions import (
+        PhaseFunction,
+        PhaseFunctionTable,
+        henyey_greenstein_coefficients,
+    )
+    from i3rc_tpu.integrators.integrator import Integrator
+
+    assert _plan(_step_cloud(FAST_CFG)).unroll == 8
+    assert _plan(_step_cloud(IntegratorConfig(
+        use_ray_tracing=False, fastpath_unroll=16))).unroll == 16
+
+    # Column scene: per-(x, y) single-run columns with differing tops.
+    nx, ny, nz = 4, 4, 6
+    tops = np.arange(nx * ny).reshape(nx, ny) % (nz + 1)
+    ext = np.where(np.arange(nz)[None, None, :] < tops[:, :, None],
+                   0.01 + 0.001 * tops[:, :, None], 0.0)
+    pf = PhaseFunction.from_legendre(henyey_greenstein_coefficients(0.85, 32))
+    table = PhaseFunctionTable.from_phase_functions([pf], key=[1.0])
+    dom = Domain.create(30.0 * np.arange(nx + 1), 30.0 * np.arange(ny + 1),
+                        20.0 * np.arange(nz + 1))
+    dom = dom.add_component("c", ext, np.ones_like(ext),
+                            np.zeros(ext.shape, np.int32), table)
+    plan = _plan(Integrator.create(dom, config=FAST_CFG))
+    assert plan is not None and plan.column_data is not None
+    assert plan.unroll == 32
+
+
 def test_pallas_event_block_matches_xla_fastpath():
     """The Mosaic event-block kernel (interpret mode off-TPU) reproduces the
     XLA fastpath statistically: same physics code (fast_event), different
@@ -769,6 +802,65 @@ def test_pallas_matches_xla_gas_channel():
     for field in ("mean_flux_up", "mean_flux_down", "mean_flux_absorbed"):
         assert float(getattr(rp, field)) == pytest.approx(
             float(getattr(rx, field)), abs=4 * sigma), field
+    total = float(rp.mean_flux_up + rp.mean_flux_down + rp.mean_flux_absorbed)
+    assert total == pytest.approx(1.0, abs=1e-5)
+    assert int(rp.n_bad) == 0
+
+
+def test_pallas_matches_xla_radiance_detectors():
+    """Radiance detectors inside the Mosaic event block (closed-shadow HG
+    plans, _build_pallas_block n_detectors): collisions record
+    (contribution, exit column) pairs, the per-block glue replays them
+    through the one-hot tally.  Cross-check the I3RC detector triplet
+    Pallas-vs-XLA on the step cloud; fluxes must still close."""
+    n = 1 << 14
+    lanes = 1 << 12
+    src = PhotonSource.directional(0.5, 0.0)
+    det = dict(intensity_mus=[1.0, 0.5, 0.5], intensity_phis=[0.0, 0.0, 180.0])
+    xla = _step_cloud(FAST_CFG, **det)
+    pal = _step_cloud(IntegratorConfig(use_ray_tracing=False, max_events=500,
+                                       compute_volume_absorption=False,
+                                       use_pallas_fastpath=True), **det)
+    plan = _plan(pal)
+    assert plan is not None and plan.closed_shadow and len(plan.detectors) == 3
+    rx = xla.batch_fn(src, n, n_lanes=lanes)(jax.random.PRNGKey(35))
+    rp = pal.batch_fn(src, n, n_lanes=lanes)(jax.random.PRNGKey(36))
+    ix = np.asarray(rx.mean_intensity)
+    ip = np.asarray(rp.mean_intensity)
+    # Radiance relative MC noise at 2^14 photons is ~2-3%; 4 sigma ~ 10%.
+    np.testing.assert_allclose(ip, ix, rtol=0.12)
+    # Frozen cross-validated anchors (BENCH_CASES.md case 2 triplet).
+    np.testing.assert_allclose(ip, [0.1285, 0.3285, 0.1800], rtol=0.12)
+    assert float(rp.mean_flux_up + rp.mean_flux_down) == pytest.approx(1.0, abs=1e-5)
+    assert int(rp.n_bad) == 0
+
+
+def test_pallas_radiance_with_gas_channel():
+    """Gas-channel plans keep detectors on the Mosaic path: the closed
+    shadow trace folds the baked gas profile's vertical segments in, and
+    the gas collision channel itself already rides the event block."""
+    from i3rc_tpu.integrators.integrator import Integrator
+    from i3rc_tpu.integrators.spectral import domain_with_gas_component
+    from i3rc_tpu.models.step_cloud import make_step_cloud
+
+    dom = domain_with_gas_component(make_step_cloud(1.0), np.full(32, 3e-4))
+    det = dict(intensity_mus=[1.0, 0.5], intensity_phis=[0.0, 0.0])
+    n = 1 << 14
+    lanes = 1 << 12
+    src = PhotonSource.directional(0.5, 0.0)
+    xla = Integrator.create(dom, config=IntegratorConfig(
+        use_ray_tracing=False, max_events=500,
+        compute_volume_absorption=False), **det)
+    pal = Integrator.create(dom, config=IntegratorConfig(
+        use_ray_tracing=False, max_events=500,
+        compute_volume_absorption=False, use_pallas_fastpath=True), **det)
+    plan = _plan(pal)
+    assert plan is not None and plan.gas_factor is not None \
+        and plan.closed_shadow
+    rx = xla.batch_fn(src, n, n_lanes=lanes)(jax.random.PRNGKey(45))
+    rp = pal.batch_fn(src, n, n_lanes=lanes)(jax.random.PRNGKey(46))
+    np.testing.assert_allclose(np.asarray(rp.mean_intensity),
+                               np.asarray(rx.mean_intensity), rtol=0.12)
     total = float(rp.mean_flux_up + rp.mean_flux_down + rp.mean_flux_absorbed)
     assert total == pytest.approx(1.0, abs=1e-5)
     assert int(rp.n_bad) == 0
