@@ -222,7 +222,10 @@ def run_spectral(jax, scale):
     from i3rc_tpu.integrators.config import IntegratorConfig
     from i3rc_tpu.models.step_cloud import make_step_cloud
 
-    n_per_batch = (1 << 22) // scale
+    # 2^24 photons/batch: the per-k baked Pallas dispatches amortize their
+    # fixed costs (measured 126 M/s at 2^22 -> 320 M/s at 2^24; 2^26-single-
+    # batch regresses to 240 M/s).
+    n_per_batch = (1 << 24) // scale
     n_batches = 2
     dom = make_step_cloud(1.0)
     z = np.asarray(dom.z_edges)

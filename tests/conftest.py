@@ -81,6 +81,17 @@ SLOW_TESTS = [
     "test_external_validation.py::test_cpp_oracle_radar_cloud_c1",
     "test_external_validation.py::test_cpp_oracle_step_cloud_radiances",
     "test_misc_features.py::test_irregular_z_grid_energy_closure",
+    # Late-round-3 retier (quick gate crept to ~9 min): the interpret-mode
+    # Pallas radiance cross-checks, the sharded radiance detectors, and
+    # further >=19 s statistical gates whose features keep a cheap quick
+    # test (pallas radiance smoke, fuse_k beer-lambert, serial-path
+    # matches-onehot).
+    "test_fastpath.py::test_pallas_matches_xla_radiance_detectors",
+    "test_fastpath.py::test_pallas_radiance_with_gas_channel",
+    "test_sharded_domain.py::test_sharded_radiance_detectors",
+    "test_spectral.py::test_fuse_k_volume_absorption_beer_lambert",
+    "test_serial_path.py::test_serial_path_radiance_matches_onehot",
+    "test_serial_path.py::test_chained_flux_tracer_matches_plain_general",
 ]
 
 

@@ -807,6 +807,26 @@ def test_pallas_matches_xla_gas_channel():
     assert int(rp.n_bad) == 0
 
 
+def test_pallas_radiance_smoke():
+    """Quick-tier smoke for the Mosaic radiance path (the statistical
+    Pallas-vs-XLA cross-checks are slow-tier): the detector triplet lands
+    near the frozen anchors, fluxes close, no photon is lost."""
+    n = 1 << 12
+    src = PhotonSource.directional(0.5, 0.0)
+    pal = _step_cloud(IntegratorConfig(use_ray_tracing=False, max_events=500,
+                                       compute_volume_absorption=False,
+                                       use_pallas_fastpath=True),
+                      intensity_mus=[1.0, 0.5, 0.5],
+                      intensity_phis=[0.0, 0.0, 180.0])
+    assert _plan(pal).closed_shadow
+    rp = pal.batch_fn(src, n, n_lanes=1 << 11)(jax.random.PRNGKey(55))
+    np.testing.assert_allclose(np.asarray(rp.mean_intensity),
+                               [0.1285, 0.3285, 0.1800], rtol=0.35)
+    assert float(rp.mean_flux_up + rp.mean_flux_down) == pytest.approx(
+        1.0, abs=1e-5)
+    assert int(rp.n_bad) == 0
+
+
 def test_pallas_matches_xla_radiance_detectors():
     """Radiance detectors inside the Mosaic event block (closed-shadow HG
     plans, _build_pallas_block n_detectors): collisions record
