@@ -80,6 +80,7 @@ SLOW_TESTS = [
     "test_spectral.py::test_broadband_bake_fastpath_matches_traced",
     "test_external_validation.py::test_cpp_oracle_radar_cloud_c1",
     "test_external_validation.py::test_cpp_oracle_step_cloud_radiances",
+    "test_external_validation.py::test_cpp_oracle_landsat_flux",
     "test_misc_features.py::test_irregular_z_grid_energy_closure",
     # Late-round-3 retier (quick gate crept to ~9 min): the interpret-mode
     # Pallas radiance cross-checks, the sharded radiance detectors, and

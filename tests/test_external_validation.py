@@ -333,6 +333,40 @@ def test_cpp_oracle_radar_cloud_c1():
 
 
 @needs_native
+def test_cpp_oracle_landsat_flux():
+    """The FULL Landsat case-4 scene (128x128x119, per-column homogeneous
+    cloud layers, HG g=0.85) vs the C++ oracle — the first EXTERNAL gate
+    for this scene (previously kernel-vs-kernel plus the generator's own
+    column-tau identity).  The oracle walks the per-cell float64 grid
+    photon-serially; the framework runs the parametric column fastpath —
+    independent representations of the same medium.
+
+    Match: I3RC-Examples/i3rcLandsatCloud.f95:26-140 (scene),
+    monteCarloRadiativeTransfer.f95:400-707 (transport)."""
+    from i3rc_tpu.models.landsat_cloud import make_landsat_cloud
+
+    n = 1 << 16   # CPU column-fastpath cost bounds the framework side;
+    dom = make_landsat_cloud(1.0)
+    cfg = IntegratorConfig(use_ray_tracing=False, max_events=500,
+                           compute_volume_absorption=False)
+    integ = Integrator.create(dom, config=cfg)
+    res = integ.batch_fn(PhotonSource.directional(0.5, 0.0), n)(
+        jax.random.PRNGKey(31))
+    fup = float(res.mean_flux_up)
+
+    comp = dom.components[0]
+    ext = np.asarray(comp.extinction, np.float64)
+    # the float64 oracle is cheap (~50k photons/s), so run it 4x harder.
+    ro = native_mc.trace(ext, np.ones_like(ext), 0.85,
+                         np.asarray(dom.x_edges), np.asarray(dom.y_edges),
+                         np.asarray(dom.z_edges), 0.5, 0.0, 4 * n, seed=33)
+    fup_o = ro["flux_up"].sum() / (4 * n)
+    sigma = np.sqrt(fup_o * (1 - fup_o) * (1.0 / n + 1.0 / (4 * n)))
+    assert fup == pytest.approx(fup_o, abs=3 * sigma)
+    assert ro["n_bad"] == 0 and int(res.n_bad) < 1e-3 * n
+
+
+@needs_native
 def test_cpp_oracle_step_cloud_radiances():
     """Step-cloud radiance triplet (the benchmark detector set) vs the C++
     oracle's independent local-estimate implementation (path_tau + exact
