@@ -28,6 +28,8 @@ def main():
         parts = [int(v) for v in spec.split(":")]
         chain = parts[0]
         march = parts[1] if len(parts) > 1 else 1
+        # NB: unroll 0 now means AUTO (8; 32 for column media) — pass 1 for
+        # a literal single-event block (config.fastpath_unroll docstring).
         unroll = parts[2] if len(parts) > 2 else 8
         lanes = 1 << (parts[3] if len(parts) > 3 else 18)
         integ = _step_cloud_integrator(

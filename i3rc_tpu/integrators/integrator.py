@@ -336,14 +336,13 @@ class Integrator:
         events/photon balloon.  Overrides therefore stay general; the
         baked gas channel keeps the fastpath for monochromatic runs.)
         """
-        from i3rc_tpu.integrators.fastpath import fast_plan, make_fast_tracer
+        from i3rc_tpu.integrators.fastpath import make_fast_tracer
 
         general = make_batch_tracer(self.geometry, self.optics, self.tables,
                                     self.surface, self.intensity, self.config,
                                     n_photons, n_lanes,
                                     coarse_geom=self.coarse_geometry)
-        plan = fast_plan(self.geometry, self._flat, self.optics, self.surface,
-                         self.intensity, self.config)
+        plan = self._fast_plan
         if self._gas_k is not None:
             # Fused spectral-k batching: the whole band in one dispatch.
             # Requires the gas-channel fastpath shape — fail loudly rather
@@ -381,6 +380,35 @@ class Integrator:
 
         return trace
 
+    @property
+    def _fast_plan(self):
+        """The (host-side) fastpath plan, computed once per integrator.
+
+        Used both to dispatch batch_tracer and to pick the default lane
+        width — plan construction includes table fits, so it is cached.
+        """
+        if "_fast_plan_cache" not in self.__dict__:
+            from i3rc_tpu.integrators.fastpath import fast_plan
+
+            self.__dict__["_fast_plan_cache"] = fast_plan(
+                self.geometry, self._flat, self.optics, self.surface,
+                self.intensity, self.config)
+        return self.__dict__["_fast_plan_cache"]
+
+    @property
+    def _default_lanes(self) -> int:
+        """Workload-tuned wavefront width when the caller passes none.
+
+        Column media default to narrow wavefronts: their per-event factored
+        one-hot column read scales super-linearly with lane count (2^15
+        lanes measured 1.5x the throughput of 2^17 on the full Landsat
+        scene — PERF_NOTES.md round-3 column ledger); everything else
+        stays wide.
+        """
+        plan = self._fast_plan
+        return (1 << 15) if (plan is not None
+                             and plan.column_data is not None) else (1 << 20)
+
     def batch_fn(self, source: PhotonSource, n_photons: int,
                  n_lanes: int | None = None):
         """Compiled (key[, optics]) -> Results; cached per (source, sizes).
@@ -390,7 +418,7 @@ class Integrator:
         loop's mechanism (see spectral.py).
         """
         cache = self.__dict__.setdefault("_compiled_cache", {})
-        lanes = int(n_lanes or min(n_photons, 1 << 20))
+        lanes = int(n_lanes or min(n_photons, self._default_lanes))
         cache_key = (source, int(n_photons), lanes)
         if cache_key not in cache:
             n_dirs = self.intensity.n_directions if self.intensity else 0

@@ -716,9 +716,15 @@ def test_auto_unroll_defaults():
                         20.0 * np.arange(nz + 1))
     dom = dom.add_component("c", ext, np.ones_like(ext),
                             np.zeros(ext.shape, np.int32), table)
-    plan = _plan(Integrator.create(dom, config=FAST_CFG))
+    col_integ = Integrator.create(dom, config=FAST_CFG)
+    plan = _plan(col_integ)
     assert plan is not None and plan.column_data is not None
     assert plan.unroll == 32
+    # The default lane width is resolved by batch_fn (Integrator._default
+    # _lanes) — the layer that actually builds the batch — so callers who
+    # pass no n_lanes get the tuned narrow wavefront on column media.
+    assert col_integ._default_lanes == (1 << 15)
+    assert _step_cloud(FAST_CFG)._default_lanes == (1 << 20)
 
 
 def test_pallas_event_block_matches_xla_fastpath():
