@@ -456,6 +456,56 @@ def test_fuse_k_auto_fallback():
                                np.asarray(band3.mean.flux_up))
 
 
+def test_spectral_loop_brdf_surface_sharded():
+    """BASELINE config 5 end-to-end shape: kDistribution spectral loop +
+    surface BRDF + sharded mesh.  BRDF surfaces are fused-ineligible, so
+    fuse_k='auto' must fall back to the general-kernel loop, run sharded
+    over the 8-device CPU mesh, and the RPV surface must raise the band's
+    upwelling flux over the black-surface band."""
+    from i3rc_tpu.core.illumination import PhotonSource
+    from i3rc_tpu.core.optics import Domain
+    from i3rc_tpu.core.surface import SurfaceDescription
+    from i3rc_tpu.integrators.integrator import Integrator
+    from i3rc_tpu.integrators.spectral import (
+        domain_with_gas_component,
+        run_band,
+    )
+    from i3rc_tpu.parallel.mesh import default_mesh
+
+    table = PhaseFunctionTable.from_phase_functions(
+        [PhaseFunction.from_legendre(henyey_greenstein_coefficients(0.85, 16))],
+        key=[1.0])
+    src = PhotonSource.directional(0.5, 0.0)
+    cfg = IntegratorConfig(use_ray_tracing=False, max_events=100)
+    dom = Domain.create([0, 1.0], [0, 1.0], np.linspace(0, 1.0, 5))
+    ext = np.full((1, 1, 4), 1.0)
+    dom = dom.add_component("cloud", ext, np.ones_like(ext),
+                            np.zeros(ext.shape, np.int32), table)
+    z = np.asarray(dom.z_edges)
+    kd = KDistribution.create(
+        z, np.broadcast_to([[0.2, 2.0]], (4, 2)).copy(), [0.6, 0.4],
+        spectral_fraction=1.0)
+    mesh = default_mesh(np.array(jax.devices()[:8]))
+    rpv = SurfaceDescription.uniform([0.4, 1.0, 0.0], brdf_name="rpv")
+    dom_gas = domain_with_gas_component(dom, kd.absorption_profiles_on(z)[:, 0])
+
+    def band_for(surface):
+        integ = Integrator.create(dom_gas, config=cfg, surface=surface)
+        cache = {}
+        band = run_band(integ, dom, kd, src, 2048, 8, seed=7, mesh=mesh,
+                        fuse_k="auto", integrator_cache=cache)
+        # BRDF surfaces cannot fuse OR bake a fastpath: the memoized auto
+        # decision must be the traced-override general loop.
+        if surface is not None:
+            assert cache[("auto_decision", id(kd), id(dom))][0] == {
+                "bake_fastpath": False}
+        return float(np.asarray(band.mean.flux_up).mean())
+
+    fup_rpv = band_for(rpv)
+    fup_black = band_for(None)
+    assert 0.0 < fup_black < fup_rpv < 1.0
+
+
 def test_fuse_k_rejects_override():
     """fuse_k guard: optics overrides don't apply (every k profile baked)."""
     from i3rc_tpu.core.illumination import PhotonSource
