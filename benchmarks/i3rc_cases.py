@@ -24,19 +24,20 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 logging.getLogger("jax._src.xla_bridge").setLevel(logging.ERROR)
 
 
-def run_case(name, integrator, source, n_photons, n_batches, seed=10, derive=None):
+def run_case(name, integrator, source, n_photons, n_batches, seed=10,
+             derive=None, n_lanes=None):
     import jax
 
     from i3rc_tpu.parallel.mesh import run_batches
 
     # Warm-up/compile on a single batch
     t0 = time.perf_counter()
-    integrator.batch_fn(source, n_photons)(jax.random.PRNGKey(0))
+    integrator.batch_fn(source, n_photons, n_lanes=n_lanes)(jax.random.PRNGKey(0))
     compile_s = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     stats = run_batches(integrator, source, n_photons, n_batches, seed=seed,
-                        derive=derive)
+                        derive=derive, n_lanes=n_lanes)
     wall = time.perf_counter() - t0
     total_photons = n_photons * stats.n_batches
     out = {
@@ -109,9 +110,13 @@ def main(quick=False, only=None):
                                     use_russian_roulette_for_intensity=True,
                                     zeta_min=0.3, majorant_block_size=16),
             intensity_mus=[1.0, 0.5, 0.5], intensity_phis=[0.0, 0.0, 180.0])
+        # Narrow lanes: the queued-radiance Iwabuchi executable compiles in
+        # ~5.5 min and the bench relay has killed workers on back-to-back
+        # long compiles; 2^14 lanes compiles in ~1/4 the time (persistent
+        # compile cache also applies — utils/compile_cache).
         reports.append(run_case("stepCloud case1 + radiances",
                                 integ, src, (1 << 18) // scale, 8,
-                                derive=derive_with_rad))
+                                derive=derive_with_rad, n_lanes=1 << 14))
 
     # 3. radar cloud (HG and C.1)
     if wanted(3):

@@ -154,6 +154,13 @@ def main(argv=None):
         i = argv.index("--profile")
         profile_dir = argv[i + 1] if i + 1 < len(argv) else "profile_trace"
         argv = argv[:i] + argv[i + 2 if i + 1 < len(argv) else i + 1:]
+    if len(argv) == 0:
+        # getOneArgument's stdin fallback (userInterface_Unix.f95:70-99):
+        # with no CLI argument the reference prompts for the file name.
+        print("Enter the namelist file name: ", end="", flush=True)
+        line = sys.stdin.readline().strip()
+        if line:
+            argv = [line]
     if len(argv) != 1:
         print("usage: python -m i3rc_tpu.drivers.plane_parallel "
               "[--profile DIR] <namelist.nml>", file=sys.stderr)

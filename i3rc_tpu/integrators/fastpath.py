@@ -1186,7 +1186,7 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
     # per-event fixed costs (RNG draws, exponential deviate, scattering
     # rotation, counters) amortize over several crossings.  Column mode
     # keeps MARCH = 1: its per-substep one-hot column read dominates.
-    MARCH = 1 if column_mode else max(1, int(getattr(config, "fastpath_march", 4)))
+    MARCH = 1 if column_mode else max(1, int(getattr(config, "fastpath_march", 1)))
     # Collision chaining (bonus phases): after the main-phase collision and
     # scattering rotation, resolve up to CHAIN further collisions inline —
     # each draws a fresh free path and commits immediately IF the candidate
@@ -1205,7 +1205,7 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
     # bonus move crosses gas layers, so each phase would need its own
     # endpoint read — the chain's saving inverts.
     CHAIN = 0 if (D or gask_mode) else max(
-        0, int(getattr(config, "fastpath_chain", 2)))
+        0, int(getattr(config, "fastpath_chain", 3)))
     bonus_draws = 4 if absorbing else 3
     bonus_base = n_draws
     n_draws += CHAIN * bonus_draws

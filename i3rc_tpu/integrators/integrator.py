@@ -41,7 +41,12 @@ from i3rc_tpu.integrators.wavefront import (
     make_batch_tracer,
 )
 from i3rc_tpu.ops.dda import EXIT_BOT, EXIT_TOP, GridGeometry
+from i3rc_tpu.utils import compile_cache
 from i3rc_tpu.utils.errors import Status
+
+# Long transport compiles (Mosaic event blocks ~2 min, queued-radiance
+# Iwabuchi ~5.5 min) persist across processes; see utils/compile_cache.
+compile_cache.enable()
 
 
 def majorant_block_shape(grid_shape, block_size: int):
