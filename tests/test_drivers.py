@@ -227,3 +227,27 @@ def test_broadband_driver_namelist_validation(tmp_path):
     """))
     with pytest.raises(ValueError, match="spectralMode"):
         run_bb(str(p2), quiet=True)
+
+
+def test_plane_parallel_stdin_fallback(tmp_path, monkeypatch, capsys):
+    """With no CLI argument the driver prompts for the namelist path on
+    stdin (getOneArgument's prompt fallback, userInterface_Unix.f95:70-99);
+    empty input falls through to the usage error."""
+    import io
+
+    from i3rc_tpu.drivers import plane_parallel
+
+    nml = tmp_path / "pp.nml"
+    src = os.path.join(os.path.dirname(__file__), "..", "examples",
+                       "planeParallel.nml")
+    text = open(src).read().replace("numPhotonsPerBatch = 10000",
+                                    "numPhotonsPerBatch = 2000")
+    nml.write_text(text)
+    monkeypatch.setattr("sys.stdin", io.StringIO(f"{nml}\n"))
+    assert plane_parallel.main([]) == 0
+    captured = capsys.readouterr()
+    assert "Enter the namelist file name:" in captured.out
+    assert "Fup" in captured.out  # the reference's stdout table was printed
+
+    monkeypatch.setattr("sys.stdin", io.StringIO(""))
+    assert plane_parallel.main([]) == 1
