@@ -49,7 +49,89 @@ def rpv_brdf(params, mu_in, mu_out, phi_in, phi_out):
     return rho0 * m * g_hg * hot
 
 
-BRDF_REGISTRY = {"lambertian": lambertian_brdf, "rpv": rpv_brdf}
+def cox_munk_brdf(params, mu_in, mu_out, phi_in, phi_out):
+    """Cox-Munk ocean sun-glint BRDF; params = (wind_speed m/s, refractive index).
+
+    The reference's own wishlist names Cox-Munk as the wanted ocean kernel
+    (/root/reference/Wishlist.txt:14-18).  Isotropic Gaussian wave-slope
+    statistics (Cox & Munk 1954): sigma^2 = 0.003 + 0.00512 W, facet pdf
+    P(tan beta) = exp(-tan^2 beta / sigma^2) / (pi sigma^2), unpolarized
+    Fresnel reflection off the tilted facet; no shadowing/hiding factor
+    (accurate away from grazing geometries).  Angles are the transport
+    kernel's convention: mu_* are propagation-direction z cosines (mu_in < 0
+    arriving at the bottom boundary), phi_* are propagation azimuths.
+    Returns the reflectance factor pi * f_r — the photon-weight multiplier
+    under the integrator's cosine-weighted outgoing draw, exactly like the
+    Lambertian kernel returns its albedo.
+    """
+    wind, n_re = params[..., 0], params[..., 1]
+    mu_i = jnp.maximum(jnp.abs(mu_in), 1e-6)
+    mu_r = jnp.maximum(jnp.abs(mu_out), 1e-6)
+    sin_i = jnp.sqrt(jnp.maximum(1.0 - mu_i**2, 0.0))
+    sin_r = jnp.sqrt(jnp.maximum(1.0 - mu_r**2, 0.0))
+    cos_dphi = jnp.cos(phi_out - phi_in)
+    # Incident propagation i = (s_i, 0, -mu_i); reflected r aligned at
+    # delta-phi.  The reflecting facet normal is (r - i)/|r - i|.
+    dot_ir = sin_i * sin_r * cos_dphi - mu_i * mu_r
+    v_norm = jnp.sqrt(jnp.maximum(2.0 - 2.0 * dot_ir, 1e-12))
+    cos_beta = jnp.clip((mu_i + mu_r) / v_norm, 1e-3, 1.0)   # facet tilt
+    cos_w = jnp.clip(0.5 * v_norm, 1e-6, 1.0)                # local incidence
+    tan2_beta = (1.0 - cos_beta**2) / cos_beta**2
+    sigma2 = 0.003 + 0.00512 * wind
+    slope_pdf = jnp.exp(-tan2_beta / sigma2) / (jnp.pi * sigma2)
+    # Unpolarized Fresnel, real index (air -> water).
+    sin_w = jnp.sqrt(jnp.maximum(1.0 - cos_w**2, 0.0))
+    sin_t = jnp.clip(sin_w / n_re, 0.0, 1.0)
+    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin_t**2, 0.0))
+    r_s = (cos_w - n_re * cos_t) / (cos_w + n_re * cos_t)
+    r_p = (n_re * cos_w - cos_t) / (n_re * cos_w + cos_t)
+    fresnel = 0.5 * (r_s**2 + r_p**2)
+    f_r = slope_pdf * fresnel / (4.0 * mu_i * mu_r * cos_beta**4)
+    return jnp.pi * f_r
+
+
+def ross_li_brdf(params, mu_in, mu_out, phi_in, phi_out):
+    """Li-Sparse-Ross-Thick (MODIS kernel) BRDF; params = (f_iso, f_vol, f_geo).
+
+    The reference's wishlist names Li-Sparse-Ross-Thick as the wanted
+    vegetation kernel (/root/reference/Wishlist.txt:14-18).  RossThick
+    volumetric + LiSparse-Reciprocal geometric kernels with the MODIS
+    constants h/b = 2, b/r = 1 (Lucht, Schaaf & Strahler 2000); the
+    kernel-weight sum is itself a reflectance factor, clamped at 0 where
+    the linear combination goes unphysical.  Angle convention as in
+    cox_munk_brdf (propagation directions); the kernels' relative azimuth
+    has its backscatter (hotspot) at OPPOSING propagation azimuths, hence
+    the sign flip on cos(delta phi).
+    """
+    f_iso, f_vol, f_geo = params[..., 0], params[..., 1], params[..., 2]
+    mu_i = jnp.maximum(jnp.abs(mu_in), 1e-3)
+    mu_r = jnp.maximum(jnp.abs(mu_out), 1e-3)
+    sin_i = jnp.sqrt(jnp.maximum(1.0 - mu_i**2, 0.0))
+    sin_r = jnp.sqrt(jnp.maximum(1.0 - mu_r**2, 0.0))
+    cos_rel = -jnp.cos(phi_out - phi_in)       # hotspot at reversed azimuth
+    sin_rel = jnp.sin(phi_out - phi_in)
+    # RossThick: phase angle xi between the sun and view RAYS.
+    cos_xi = jnp.clip(mu_i * mu_r + sin_i * sin_r * cos_rel, -1.0, 1.0)
+    xi = jnp.arccos(cos_xi)
+    k_vol = (((jnp.pi / 2.0 - xi) * cos_xi + jnp.sin(xi))
+             / (mu_i + mu_r) - jnp.pi / 4.0)
+    # LiSparse-Reciprocal with b/r = 1 (primed angles equal the originals).
+    tan_i = sin_i / mu_i
+    tan_r = sin_r / mu_r
+    sec_i = 1.0 / mu_i
+    sec_r = 1.0 / mu_r
+    d2 = jnp.maximum(tan_i**2 + tan_r**2 - 2.0 * tan_i * tan_r * cos_rel, 0.0)
+    cos_t = jnp.clip(2.0 * jnp.sqrt(d2 + (tan_i * tan_r * sin_rel) ** 2)
+                     / (sec_i + sec_r), -1.0, 1.0)
+    t = jnp.arccos(cos_t)
+    overlap = (t - jnp.sin(t) * cos_t) * (sec_i + sec_r) / jnp.pi
+    k_geo = (overlap - sec_i - sec_r
+             + 0.5 * (1.0 + cos_xi) * sec_i * sec_r)
+    return jnp.maximum(f_iso + f_vol * k_vol + f_geo * k_geo, 0.0)
+
+
+BRDF_REGISTRY = {"lambertian": lambertian_brdf, "rpv": rpv_brdf,
+                 "cox_munk": cox_munk_brdf, "ross_li": ross_li_brdf}
 
 
 @dataclass(frozen=True)

@@ -110,3 +110,73 @@ def test_rpv_brdf_surface():
     fup = float(res.mean_flux_up)
     assert 0.0 < fup < 1.0
     assert float(res.mean_flux_down) == pytest.approx(1.0, abs=5e-3)
+
+
+def test_cox_munk_nadir_matches_closed_form():
+    """Nadir-to-nadir glint: pi * P(0) * F(0) / 4 in closed form."""
+    from i3rc_tpu.core.surface import cox_munk_brdf
+
+    wind, n = 5.0, 1.34
+    r = cox_munk_brdf(np.array([[wind, n]], np.float32),
+                      np.array([-1.0]), np.array([1.0]),
+                      np.array([0.0]), np.array([0.0]))
+    sigma2 = 0.003 + 0.00512 * wind
+    expected = np.pi * (1.0 / (np.pi * sigma2)) * ((n - 1) / (n + 1)) ** 2 / 4.0
+    assert float(r[0]) == pytest.approx(expected, rel=1e-4)
+
+
+def test_cox_munk_reciprocity_and_glint_peak():
+    """f_r is reciprocal; the glint lobe peaks at the specular geometry."""
+    from i3rc_tpu.core.surface import cox_munk_brdf
+
+    rng = np.random.default_rng(0)
+    mu_a = rng.uniform(0.3, 1.0, 8).astype(np.float32)
+    mu_b = rng.uniform(0.3, 1.0, 8).astype(np.float32)
+    ph_a = rng.uniform(0.0, 2 * np.pi, 8).astype(np.float32)
+    ph_b = rng.uniform(0.0, 2 * np.pi, 8).astype(np.float32)
+    params = np.tile(np.array([7.0, 1.33], np.float32), (8, 1))
+    fwd = np.asarray(cox_munk_brdf(params, -mu_a, mu_b, ph_a, ph_b))
+    rev = np.asarray(cox_munk_brdf(params, -mu_b, mu_a, ph_b, ph_a))
+    np.testing.assert_allclose(fwd, rev, rtol=1e-4)
+    # 45-degree incidence: specular keeps the propagation azimuth.
+    s = np.sqrt(0.5, dtype=np.float32)
+    spec = cox_munk_brdf(params[:1], np.array([-s]), np.array([s]),
+                         np.array([0.0]), np.array([0.0]))
+    back = cox_munk_brdf(params[:1], np.array([-s]), np.array([s]),
+                         np.array([0.0]), np.array([np.pi]))
+    assert float(spec[0]) > 100.0 * float(back[0])
+
+
+def test_ross_li_nadir_and_hotspot():
+    """Nadir-nadir reduces to f_iso; the hotspot beats forward scatter."""
+    from i3rc_tpu.core.surface import ross_li_brdf
+
+    params = np.array([[0.3, 0.5, 0.2]], np.float32)
+    nadir = ross_li_brdf(params, np.array([-1.0]), np.array([1.0]),
+                         np.array([0.0]), np.array([1.3]))
+    assert float(nadir[0]) == pytest.approx(0.3, abs=1e-5)
+    s = np.sqrt(0.5, dtype=np.float32)
+    # Hotspot = reversed propagation azimuth; forward = same azimuth.
+    hot = ross_li_brdf(params, np.array([-s]), np.array([s]),
+                       np.array([0.0]), np.array([np.pi]))
+    fwd = ross_li_brdf(params, np.array([-s]), np.array([s]),
+                       np.array([0.0]), np.array([0.0]))
+    assert float(hot[0]) > float(fwd[0]) + 0.3
+
+
+def test_cox_munk_surface_integrator():
+    """Ocean-glint surface through the general kernel: runs, small Fup."""
+    dom = Domain.create([0, 500.0], [0, 500.0], [0.0, 250.0])
+    ext = np.full((1, 1, 1), 1e-9)
+    dom = dom.add_component("thin", ext, np.ones_like(ext),
+                            np.zeros(ext.shape, np.int32), hg_table())
+    surface = SurfaceDescription.uniform([7.0, 1.34], brdf_name="cox_munk")
+    integ = Integrator.create(dom, surface=surface)
+    res = integ.compute(jax.random.PRNGKey(6), PhotonSource.directional(0.866, 0.0),
+                        100_000)
+    fup = float(res.mean_flux_up)
+    # Directional-hemispherical ocean reflectance at 30 degrees is a few
+    # percent (Fresnel-bounded); cosine-sampled glint is high-variance, so
+    # only order-of-magnitude bounds are asserted.
+    assert 0.0 < fup < 0.3
+    assert float(res.mean_flux_down) == pytest.approx(1.0, abs=5e-3)
