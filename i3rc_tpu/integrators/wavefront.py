@@ -643,6 +643,33 @@ def make_batch_tracer(geom: GridGeometry, optics: DeviceOptics, tables: DeviceTa
             cond, body, state)
         return T, fix_o, fiy_o, esc_o
 
+    # Exact BRDF local estimation at surface reflections: a non-Lambertian
+    # kernel's detector contribution must evaluate the BRDF toward the
+    # DETECTOR direction with the pre-reflection weight.  The reference's
+    # 1/pi surface term with the post-reflection weight
+    # (monteCarloRadiativeTransfer.f95:1473-1480, :565-580) is exact only
+    # for Lambertian surfaces (where R is direction-independent); for a
+    # peaked kernel (Cox-Munk glint) it would replace the lobe with its
+    # hemispheric average.  Albedo surfaces keep the reference's exact
+    # code path bit for bit.  Upward detectors only: the surface reflects
+    # into the upper hemisphere.
+    if compute_intensity and surface.uses_brdf:
+        _det_mu = intensity.directions[2]
+        _det_phi = jnp.arctan2(intensity.directions[1], intensity.directions[0])
+
+        def surface_detector_pf(sx, sy, uz_in, phi_in):
+            shp = (sx.shape[0], n_dirs)
+            refl = surface_reflectance(
+                jnp.broadcast_to(sx[:, None], shp),
+                jnp.broadcast_to(sy[:, None], shp),
+                jnp.broadcast_to(uz_in[:, None], shp),
+                jnp.broadcast_to(_det_mu[None, :], shp),
+                jnp.broadcast_to(phi_in[:, None], shp),
+                jnp.broadcast_to(_det_phi[None, :], shp))
+            return jnp.where(_det_mu[None, :] > 0.0, refl / PI, 0.0)
+    else:
+        surface_detector_pf = None
+
     def intensity_contribution(opt, key, mask, is_surface, x, y, z, ix, iy, iz,
                                ux, uy, uz, weight, comp, pf_idx, order, tallies):
         """Local estimation toward each detector direction.
@@ -672,9 +699,16 @@ def make_batch_tracer(geom: GridGeometry, optics: DeviceOptics, tables: DeviceTa
             pf_val = jnp.where((order <= config.num_orders_orig_phase_fun)[:, None],
                                pf_orig, pf_val)
         # Normalized: P/(4 pi |mu_d|); surface reflection contributes 1/pi
-        # (:1473-1480, :1509).
+        # (:1473-1480, :1509) — or R(in->detector)/pi for BRDF surfaces
+        # (see surface_detector_pf; the weight is then pre-reflection).
         norm_pf = pf_val / (4.0 * PI * intensity.abs_mu[None, :])
-        norm_pf = jnp.where(is_surface[:, None], 1.0 / PI, norm_pf)
+        if surface_detector_pf is not None:
+            norm_pf = jnp.where(is_surface[:, None],
+                                surface_detector_pf(x, y, uz,
+                                                    jnp.arctan2(uy, ux)),
+                                norm_pf)
+        else:
+            norm_pf = jnp.where(is_surface[:, None], 1.0 / PI, norm_pf)
 
         # Directional transmission traces: (L, D) pseudo-lanes flattened.
         def tile_l(a):
@@ -792,7 +826,13 @@ def make_batch_tracer(geom: GridGeometry, optics: DeviceOptics, tables: DeviceTa
                 (order <= config.num_orders_orig_phase_fun)[:, None],
                 pf_orig, pf_val)
         norm_pf = pf_val / (4.0 * PI * intensity.abs_mu[None, :])
-        norm_pf = jnp.where(is_surface[:, None], 1.0 / PI, norm_pf)
+        if surface_detector_pf is not None:
+            norm_pf = jnp.where(is_surface[:, None],
+                                surface_detector_pf(px, py, uz,
+                                                    jnp.arctan2(uy, ux)),
+                                norm_pf)
+        else:
+            norm_pf = jnp.where(is_surface[:, None], 1.0 / PI, norm_pf)
 
         if config.use_russian_roulette_for_intensity:
             u_free, u_accept = (jax.random.uniform(kk, (L, D),
@@ -1168,9 +1208,16 @@ def make_batch_tracer(geom: GridGeometry, optics: DeviceOptics, tables: DeviceTa
                 w_srf_eff = w * refl_eff
                 surf_alive_eff = res_surf & (w_srf_eff > TINY)
 
-            w_rec = jnp.where(is_surf_eff, w_srf_eff,
+            # BRDF surfaces record the PRE-reflection weight: the per-
+            # detector reflectance rides norm_pf (surface_detector_pf).
+            w_surf_rec = w if surface_detector_pf is not None else w_srf_eff
+            w_rec = jnp.where(is_surf_eff, w_surf_rec,
                               jnp.where(release, w, w_sc))
-            emit = resolve & (~is_surf_eff | (w_srf_eff > TINY))
+            # BRDF mode fires the estimate on EVERY surface hit: the sampled
+            # direction's reflectance may be 0 (clamped kernels) while the
+            # detector direction's is not.
+            emit = (resolve if surface_detector_pf is not None
+                    else resolve & (~is_surf_eff | (w_srf_eff > TINY)))
             rays = intensity_emission(opt, k_int, emit, is_surf_eff,
                                       px_eff, py_eff, pz_eff, ux, uy, uz,
                                       w_rec, comp_eff, pf_eff, order_next,
@@ -1228,8 +1275,11 @@ def make_batch_tracer(geom: GridGeometry, optics: DeviceOptics, tables: DeviceTa
         else:
             # --- local-estimate radiance, inline (:565-580, :652-668) --------
             if compute_intensity:
-                any_event = physical | surf_alive
-                w_event = jnp.where(exit_bot, w_srf, w_sc)
+                # BRDF mode: every surface hit estimates (see queued emit).
+                any_event = physical | (exit_bot if surface_detector_pf
+                                        is not None else surf_alive)
+                w_surf_ev = w if surface_detector_pf is not None else w_srf
+                w_event = jnp.where(exit_bot, w_surf_ev, w_sc)
                 tallies = intensity_contribution(
                     opt, k_int, any_event, exit_bot, rx, ry, rz, rix, riy,
                     riz, ux, uy, uz, w_event, comp, pf_idx, order_next,

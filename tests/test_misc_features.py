@@ -180,3 +180,74 @@ def test_cox_munk_surface_integrator():
     # only order-of-magnitude bounds are asserted.
     assert 0.0 < fup < 0.3
     assert float(res.mean_flux_down) == pytest.approx(1.0, abs=5e-3)
+
+def test_brdf_surface_radiance_closed_form():
+    """Vacuum + Cox-Munk glint: I(det) = R(sun->det)/pi, deterministically.
+
+    The surface local estimate must evaluate the BRDF toward each DETECTOR
+    direction with the pre-reflection weight; the reference's 1/pi with the
+    post-reflection weight (monteCarloRadiativeTransfer.f95:1473-1480) is
+    exact only for Lambertian surfaces (it replaces a peaked lobe with its
+    hemispheric average).  In a vacuum every photon reaches the surface with
+    weight 1 and escapes with transmission 1, so each upward detector reads
+    exactly R(mu0 -> mu_d, dphi)/pi and each downward detector reads 0.
+    Exercises both the queued and the inline estimator.
+    """
+    from i3rc_tpu.core.surface import cox_munk_brdf
+
+    mu0, az0 = 0.707, 30.0          # solar cosine, propagation azimuth (deg)
+    wind, n_refr = 7.0, 1.34
+    mus = [0.707, 0.5, 0.9, -0.5]   # last: downward detector, expects 0
+    phis = [30.0, 210.0, 75.0, 0.0]
+
+    dom = Domain.create([0, 500.0], [0, 500.0], [0.0, 250.0])
+    ext = np.full((1, 1, 1), 1e-12)
+    dom = dom.add_component("vac", ext, np.ones_like(ext),
+                            np.zeros(ext.shape, np.int32), hg_table())
+    surface = SurfaceDescription.uniform([wind, n_refr], brdf_name="cox_munk")
+
+    params = np.array([[wind, n_refr]], np.float32)
+    expected = [
+        float(cox_munk_brdf(params, np.array([-mu0], np.float32),
+                            np.array([m], np.float32),
+                            np.array([np.deg2rad(az0)], np.float32),
+                            np.array([np.deg2rad(p)], np.float32))[0]) / np.pi
+        if m > 0 else 0.0
+        for m, p in zip(mus, phis)]
+
+    for queued in (True, False):
+        integ = Integrator.create(
+            dom, surface=surface,
+            config=IntegratorConfig(use_queued_intensity=queued),
+            intensity_mus=mus, intensity_phis=phis)
+        res = integ.compute(jax.random.PRNGKey(7),
+                            PhotonSource.directional(mu0, az0), 8192)
+        got = np.asarray(res.mean_intensity, np.float64)
+        np.testing.assert_allclose(got, expected, rtol=2e-3, atol=1e-7,
+                                   err_msg=f"queued={queued}")
+
+
+def test_brdf_lambertian_equivalence_radiance():
+    """A 'lambertian' BRDF surface reproduces the scalar-albedo radiances.
+
+    The BRDF estimator path (pre-reflection weight, R(in->det)/pi in the
+    prefactor) and the reference-exact albedo path (post-reflection weight,
+    1/pi) are algebraically identical when R is constant; the RNG streams
+    coincide, so a multiply-scattering slab over A=0.4 must agree to float
+    rounding, fluxes and every detector alike.
+    """
+    dom = Domain.create([0, 500.0], [0, 500.0], [0.0, 250.0])
+    ext = np.full((1, 1, 1), 2.0 / 250.0)
+    dom = dom.add_component("cloud", ext, np.full_like(ext, 0.99),
+                            np.zeros(ext.shape, np.int32), hg_table())
+    mus, phis = [0.707, 0.4, -0.6], [0.0, 120.0, 45.0]
+    kw = dict(intensity_mus=mus, intensity_phis=phis)
+    res_a = Integrator.create(dom, surface_albedo=0.4, **kw).compute(
+        jax.random.PRNGKey(11), PhotonSource.directional(0.6, 0.0), 60_000)
+    res_b = Integrator.create(
+        dom, surface=SurfaceDescription.uniform([0.4]), **kw).compute(
+        jax.random.PRNGKey(11), PhotonSource.directional(0.6, 0.0), 60_000)
+    np.testing.assert_allclose(np.asarray(res_b.mean_intensity),
+                               np.asarray(res_a.mean_intensity), rtol=1e-4)
+    assert float(res_b.mean_flux_up) == pytest.approx(
+        float(res_a.mean_flux_up), rel=1e-5)
