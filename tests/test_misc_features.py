@@ -251,3 +251,46 @@ def test_brdf_lambertian_equivalence_radiance():
                                np.asarray(res_a.mean_intensity), rtol=1e-4)
     assert float(res_b.mean_flux_up) == pytest.approx(
         float(res_a.mean_flux_up), rel=1e-5)
+
+def test_clamped_brdf_still_estimates_every_surface_hit():
+    """Ross-Li with an 89%-clamped lobe: detectors read R(det)/pi exactly.
+
+    With f = [0.08, 0, 0.25] at mu0 = 0.707, ~89% of cosine-sampled outgoing
+    directions clamp to R = 0 (the photon dies at the surface) while the
+    hotspot detector's R is 0.227.  The local estimate must fire on EVERY
+    surface hit — gating it on the sampled direction's reflected weight
+    (exact for Lambertian/albedo surfaces) would bias these detectors low by
+    the clamp fraction, reading ~11% of the closed form.
+    """
+    from i3rc_tpu.core.surface import ross_li_brdf
+
+    mu0 = 0.707
+    f = [0.08, 0.0, 0.25]
+    mus = [0.707, 0.5, 0.9]            # last one: R clamps to 0 exactly
+    phis = [180.0, 180.0, 180.0]       # hotspot = reversed propagation azimuth
+
+    dom = Domain.create([0, 500.0], [0, 500.0], [0.0, 250.0])
+    ext = np.full((1, 1, 1), 1e-12)
+    dom = dom.add_component("vac", ext, np.ones_like(ext),
+                            np.zeros(ext.shape, np.int32), hg_table())
+    surface = SurfaceDescription.uniform(f, brdf_name="ross_li")
+
+    params = np.array([f], np.float32)
+    expected = [
+        float(ross_li_brdf(params, np.array([-mu0], np.float32),
+                           np.array([m], np.float32),
+                           np.array([0.0], np.float32),
+                           np.array([np.deg2rad(p)], np.float32))[0]) / np.pi
+        for m, p in zip(mus, phis)]
+    assert expected[0] > 0.07 and expected[2] == 0.0  # the discriminating setup
+
+    for queued in (True, False):
+        integ = Integrator.create(
+            dom, surface=surface,
+            config=IntegratorConfig(use_queued_intensity=queued),
+            intensity_mus=mus, intensity_phis=phis)
+        res = integ.compute(jax.random.PRNGKey(3),
+                            PhotonSource.directional(mu0, 0.0), 8192)
+        np.testing.assert_allclose(np.asarray(res.mean_intensity, np.float64),
+                                   expected, rtol=2e-3, atol=1e-7,
+                                   err_msg=f"queued={queued}")
