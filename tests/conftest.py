@@ -93,6 +93,9 @@ SLOW_TESTS = [
     "test_spectral.py::test_fuse_k_volume_absorption_beer_lambert",
     "test_serial_path.py::test_serial_path_radiance_matches_onehot",
     "test_serial_path.py::test_chained_flux_tracer_matches_plain_general",
+    # 35 s statistical consistency gate; the deterministic closed-form BRDF
+    # radiance pins stay in the quick tier.
+    "test_misc_features.py::test_brdf_lambertian_equivalence_radiance",
 ]
 
 
