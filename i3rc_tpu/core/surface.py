@@ -56,17 +56,20 @@ def cox_munk_brdf(params, mu_in, mu_out, phi_in, phi_out):
     (/root/reference/Wishlist.txt:14-18).  Isotropic Gaussian wave-slope
     statistics (Cox & Munk 1954): sigma^2 = 0.003 + 0.00512 W, facet pdf
     P(tan beta) = exp(-tan^2 beta / sigma^2) / (pi sigma^2), unpolarized
-    Fresnel reflection off the tilted facet; no shadowing/hiding factor
-    (accurate away from grazing geometries).  Angles are the transport
-    kernel's convention: mu_* are propagation-direction z cosines (mu_in < 0
-    arriving at the bottom boundary), phi_* are propagation azimuths.
-    Returns the reflectance factor pi * f_r — the photon-weight multiplier
-    under the integrator's cosine-weighted outgoing draw, exactly like the
-    Lambertian kernel returns its albedo.
+    Fresnel reflection off the tilted facet, and the Smith (1967)
+    bidirectional shadowing/hiding factor 1/(1 + Lambda_i + Lambda_r) for
+    the same Gaussian slope statistics — without it pi*f_r ~ 1/(mu_i mu_r)
+    diverges at grazing sun/view geometry and inflates photon weights;
+    Smith bounds it (S -> O(mu) as either direction grazes).  Angles are
+    the transport kernel's convention: mu_* are propagation-direction z
+    cosines (mu_in < 0 arriving at the bottom boundary), phi_* are
+    propagation azimuths.  Returns the reflectance factor pi * f_r — the
+    photon-weight multiplier under the integrator's cosine-weighted
+    outgoing draw, exactly like the Lambertian kernel returns its albedo.
     """
     wind, n_re = params[..., 0], params[..., 1]
-    mu_i = jnp.maximum(jnp.abs(mu_in), 1e-6)
-    mu_r = jnp.maximum(jnp.abs(mu_out), 1e-6)
+    mu_i = jnp.maximum(jnp.abs(mu_in), 1e-3)
+    mu_r = jnp.maximum(jnp.abs(mu_out), 1e-3)
     sin_i = jnp.sqrt(jnp.maximum(1.0 - mu_i**2, 0.0))
     sin_r = jnp.sqrt(jnp.maximum(1.0 - mu_r**2, 0.0))
     cos_dphi = jnp.cos(phi_out - phi_in)
@@ -87,7 +90,24 @@ def cox_munk_brdf(params, mu_in, mu_out, phi_in, phi_out):
     r_p = (n_re * cos_w - cos_t) / (n_re * cos_w + cos_t)
     fresnel = 0.5 * (r_s**2 + r_p**2)
     f_r = slope_pdf * fresnel / (4.0 * mu_i * mu_r * cos_beta**4)
-    return jnp.pi * f_r
+
+    # Smith shadowing for the same isotropic Gaussian slopes: the 1-D slope
+    # variance along any azimuth is sigma^2/2, so the Smith parameter is
+    # a = cot(theta) / sigma; Lambda(a) = (exp(-a^2)/(a sqrt(pi)) -
+    # erfc(a)) / 2; S = 1 / (1 + Lambda_i + Lambda_r).  Reciprocal in
+    # (i, r) and -> 1 at nadir, so the closed-form nadir value and the
+    # reciprocity property are unchanged.
+    from jax.scipy.special import erfc
+
+    sigma = jnp.sqrt(sigma2)
+
+    def smith_lambda(mu):
+        sin_t = jnp.sqrt(jnp.maximum(1.0 - mu * mu, 1e-12))
+        a = jnp.maximum(mu / (sin_t * sigma), 1e-4)
+        return 0.5 * (jnp.exp(-a * a) / (a * jnp.sqrt(jnp.pi)) - erfc(a))
+
+    shadow = 1.0 / (1.0 + smith_lambda(mu_i) + smith_lambda(mu_r))
+    return jnp.pi * f_r * shadow
 
 
 def ross_li_brdf(params, mu_in, mu_out, phi_in, phi_out):

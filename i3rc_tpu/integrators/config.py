@@ -84,13 +84,15 @@ class IntegratorConfig:
     # different RNG event stream.  fastpath_unroll = events per tally/refill
     # block (the deferred-tally period K).
     use_fastpath: bool = True
-    # 0 = auto: 8 for separable media (the Mosaic compile-time sweet spot —
-    # the unrolled event block compiles in ~2 min; K=16 gains +3% for ~5 min
-    # of compile), 32 for column media (XLA path, no Mosaic compile cost;
-    # the gather-bound event loop amortizes its flush/refill and loop fixed
-    # costs over the longer block — measured 1.5 -> 2.1 M photons/s on the
-    # full Landsat scene, PERF_NOTES.md round-3 column ledger).
-    fastpath_unroll: int = 0
+    # None = auto: 8 for separable media (the Mosaic compile-time sweet spot
+    # — the unrolled event block compiles in ~2 min; K=16 gains +3% for ~5
+    # min of compile), 32 for column media (XLA path, no Mosaic compile
+    # cost; the gather-bound event loop amortizes its flush/refill and loop
+    # fixed costs over the longer block — measured 1.5 -> 2.1 M photons/s on
+    # the full Landsat scene, PERF_NOTES.md round-3 column ledger).
+    # Explicit values must be >= 1 (validate() rejects 0 rather than
+    # silently re-reading it as auto).
+    fastpath_unroll: int | None = None
     # Segment-march depth: crossings consumed per event before/until the
     # collision.  >1 pays only in crossing-dominated media; on the I3RC
     # step cloud collisions dominate (the tau=18 half), so every extra
@@ -186,6 +188,10 @@ class IntegratorConfig:
             s.warnings.append("ratio tracking needs majorant_block_size > 0; "
                               "falling back to the deterministic trace")
             cfg = replace(cfg, use_ratio_tracking_for_intensity=False)
+        if cfg.fastpath_unroll is not None and cfg.fastpath_unroll < 1:
+            s.warnings.append("fastpath_unroll must be >= 1 (None = auto); "
+                              "using auto")
+            cfg = replace(cfg, fastpath_unroll=None)
         s.fail_if(cfg.russian_roulette_w <= 0.0, "russian_roulette_w must be positive")
         s.fail_if(cfg.max_events < 1, "max_events must be at least 1")
         s.check("IntegratorConfig")

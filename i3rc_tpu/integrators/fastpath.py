@@ -594,8 +594,9 @@ def fast_plan(geom, flat, optics, surface, intensity, config) -> FastPlan | None
             if shadow_steps > 24:
                 return None
 
-    unroll = int(getattr(config, "fastpath_unroll", 0)) or (
-        32 if column_data is not None else 8)
+    cfg_unroll = getattr(config, "fastpath_unroll", None)
+    unroll = (int(cfg_unroll) if cfg_unroll
+              else (32 if column_data is not None else 8))
     return FastPlan(fx=fx, fy=fy, fz=fz,
                     hg_g=g, unroll=unroll,
                     detectors=detectors, shadow_steps=shadow_steps,
@@ -1598,8 +1599,14 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
     # (Gas-channel plans qualify too: fast_plan only admits gas + detectors
     # with closed-trace eligibility, and shadow_closed folds the baked gas
     # profile's vertical segments in as pure elementwise work.)
+    # Bound the record path's output count: it adds 2*K*D full (L,)-sized
+    # kernel outputs (HBM traffic + Mosaic output slots scale with K*D), so
+    # a many-detector run (e.g. a 16-direction azimuth scan at K=8) would
+    # balloon the kernel.  Past the cap, fall back to the XLA fastpath's
+    # per-event tally (still detector-capable, no Mosaic output pressure).
+    # 32 covers the bench/test shapes (K=8 x D<=4) with margin.
     pallas_detectors = bool(D) and plan.closed_shadow and not fwd_mode \
-        and plan.cubic is None
+        and plan.cubic is None and K * D <= 32
     use_pallas = (want_pallas and (D == 0 or pallas_detectors)
                   and not column_mode
                   and not table_mode and not gask_mode and L % 1024 == 0)

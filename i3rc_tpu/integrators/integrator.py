@@ -46,7 +46,9 @@ from i3rc_tpu.utils.errors import Status
 
 # Long transport compiles (Mosaic event blocks ~2 min, queued-radiance
 # Iwabuchi ~5.5 min) persist across processes; see utils/compile_cache.
-compile_cache.enable()
+# Enabled lazily at Integrator.create — not at import — so the backend is
+# already resolved (the cache dir is keyed by platform + host features)
+# and an embedding application's own jax.config is never clobbered.
 
 
 def majorant_block_shape(grid_shape, block_size: int):
@@ -166,6 +168,7 @@ class Integrator:
         absorption (gas deaths invert the lane's cumulative gas depth for
         their exact cell) are all supported.
         """
+        compile_cache.enable()
         config = (config or IntegratorConfig()).validate()
         s = Status()
         s.fail_if(surface is not None and surface_albedo != 0.0,

@@ -8,16 +8,47 @@ back-to-back long compiles.  The persistent cache makes every repeated
 run (drivers, bench re-runs, the benchmark-case suite, test sessions on
 the same scene shapes) reuse the compiled artifact across processes.
 
-Enabled automatically when the integrator layer loads; opt out with
-I3RC_COMPILE_CACHE=0, redirect with I3RC_COMPILE_CACHE_DIR=<path>.
+The cache directory is keyed by backend platform and, for CPU backends, a
+host-CPU-feature fingerprint: CPU AOT executables embed the compile
+machine's vector features, and loading one on a different host (or under
+different XLA machine flags) logs cpu_aot_loader feature-mismatch errors
+and can SIGILL.  TPU executables are serialized against the chip
+generation, which the platform name already captures.
+
+Enabled automatically when the integrator layer loads — unless the
+embedding application (or JAX_COMPILATION_CACHE_DIR / explicit
+jax.config) already configured a cache dir, which is left untouched.
+Opt out with I3RC_COMPILE_CACHE=0, redirect with
+I3RC_COMPILE_CACHE_DIR=<path> (used verbatim, no host key appended).
 Failures are swallowed: the cache is an optimization, never a dependency.
 """
 
 from __future__ import annotations
 
+import hashlib
 import os
+import platform
 
 _DONE = False
+
+
+def _host_fingerprint() -> str:
+    """Short stable fingerprint of the host CPU's instruction-set features.
+
+    Two hosts with the same flags load each other's CPU AOT artifacts
+    safely; anything else gets its own cache subdirectory.
+    """
+    feats = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    raw = f"{platform.machine()}|{feats}"
+    return hashlib.sha256(raw.encode()).hexdigest()[:12]
 
 
 def enable() -> None:
@@ -30,9 +61,20 @@ def enable() -> None:
     try:
         import jax
 
-        path = os.environ.get(
-            "I3RC_COMPILE_CACHE_DIR",
-            os.path.join(os.path.expanduser("~"), ".cache", "i3rc_tpu_xla"))
+        if (os.environ.get("JAX_COMPILATION_CACHE_DIR")
+                or jax.config.jax_compilation_cache_dir):
+            # An embedding application already chose a cache location —
+            # don't clobber it (and leave its min-time/size policy alone).
+            return
+        explicit = os.environ.get("I3RC_COMPILE_CACHE_DIR")
+        if explicit:
+            path = explicit
+        else:
+            backend = jax.default_backend()
+            key = backend if backend != "cpu" \
+                else f"cpu-{_host_fingerprint()}"
+            path = os.path.join(os.path.expanduser("~"), ".cache",
+                                f"i3rc_tpu_xla-{key}")
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         # Only executables worth the disk round-trip; tiny kernels recompile

@@ -689,7 +689,7 @@ def test_step_factor_lookup():
 
 
 def test_auto_unroll_defaults():
-    """fastpath_unroll=0 (the default) resolves to 8 for separable plans
+    """fastpath_unroll=None (the default) resolves to 8 for separable plans
     (the Mosaic compile-time sweet spot) and 32 for column plans (XLA
     path; deeper blocks amortize the gather-bound loop's fixed costs —
     measured 1.5 -> 2.1 M photons/s on Landsat, PERF_NOTES.md)."""
@@ -704,6 +704,10 @@ def test_auto_unroll_defaults():
     assert _plan(_step_cloud(FAST_CFG)).unroll == 8
     assert _plan(_step_cloud(IntegratorConfig(
         use_ray_tracing=False, fastpath_unroll=16))).unroll == 16
+    # Explicit 0 is rejected (warning), not silently treated as auto.
+    assert IntegratorConfig(use_ray_tracing=False,
+                            fastpath_unroll=0).validate().fastpath_unroll \
+        is None
 
     # Column scene: per-(x, y) single-run columns with differing tops.
     nx, ny, nz = 4, 4, 6
