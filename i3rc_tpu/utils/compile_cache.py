@@ -8,18 +8,23 @@ back-to-back long compiles.  The persistent cache makes every repeated
 run (drivers, bench re-runs, the benchmark-case suite, test sessions on
 the same scene shapes) reuse the compiled artifact across processes.
 
-The cache directory is keyed by backend platform and, for CPU backends, a
-host-CPU-feature fingerprint: CPU AOT executables embed the compile
-machine's vector features, and loading one on a different host (or under
-different XLA machine flags) logs cpu_aot_loader feature-mismatch errors
-and can SIGILL.  TPU executables are serialized against the chip
-generation, which the platform name already captures.
+Persistence is scoped to ACCELERATOR backends by default.  CPU AOT
+executables embed the compile machine's vector features PLUS XLA-chosen
+pseudo-features (+prefer-no-scatter/+prefer-no-gather) that host feature
+detection never reports, so reloading a CPU artifact logs cpu_aot_loader
+feature-mismatch errors on every load — even on the host that compiled
+it — and a genuinely foreign artifact can SIGILL.  No directory keying
+fixes the pseudo-feature complaint (measured: the round-3
+host-fingerprint key still logged it), so CPU persistence is opt-in:
+set I3RC_COMPILE_CACHE_CPU=1 (same-host dev loops only) or point
+I3RC_COMPILE_CACHE_DIR=<path> explicitly.  TPU executables are
+serialized against the chip generation, which the platform name in the
+directory key captures.
 
 Enabled automatically when the integrator layer loads — unless the
 embedding application (or JAX_COMPILATION_CACHE_DIR / explicit
 jax.config) already configured a cache dir, which is left untouched.
-Opt out with I3RC_COMPILE_CACHE=0, redirect with
-I3RC_COMPILE_CACHE_DIR=<path> (used verbatim, no host key appended).
+Opt out entirely with I3RC_COMPILE_CACHE=0.
 Failures are swallowed: the cache is an optimization, never a dependency.
 """
 
@@ -71,6 +76,12 @@ def enable() -> None:
             path = explicit
         else:
             backend = jax.default_backend()
+            if backend == "cpu" and \
+                    os.environ.get("I3RC_COMPILE_CACHE_CPU", "0") != "1":
+                # CPU AOT reloads log feature-mismatch errors by design
+                # (see module docstring) — persistence is accelerator-only
+                # unless explicitly requested.
+                return
             key = backend if backend != "cpu" \
                 else f"cpu-{_host_fingerprint()}"
             path = os.path.join(os.path.expanduser("~"), ".cache",
