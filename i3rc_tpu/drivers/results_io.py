@@ -151,16 +151,23 @@ def write_results_netcdf(path, cfg, x_edges, y_edges, z_edges,
                 0.5 * (z_edges[:-1] + z_edges[1:])).astype(np.float32)
 
         def put(name, dims, mean, stderr):
-            nc.createVariable(name, "f", dims)[:] = np.asarray(mean, np.float32)
-            nc.createVariable(name + "_StdErr", "f", dims)[:] = np.asarray(stderr, np.float32)
+            # The reference declares its variables with Fortran dimension
+            # lists (fastest-varying first), so the on-disk CDL order is
+            # the REVERSE: fluxUp(y, x), absorbedVolume(z, y, x),
+            # intensity(direction, y, x) (monteCarloDriver.f95:724-768).
+            # In-memory arrays here are (x, y[, ...]) — write transposed.
+            nc.createVariable(name, "f", dims)[:] = np.asarray(
+                mean, np.float32).T
+            nc.createVariable(name + "_StdErr", "f", dims)[:] = np.asarray(
+                stderr, np.float32).T
 
-        put("fluxUp", ("x", "y"), *flux_up)
-        put("fluxDown", ("x", "y"), *flux_down)
-        put("fluxAbsorbed", ("x", "y"), *flux_absorbed)
+        put("fluxUp", ("y", "x"), *flux_up)
+        put("fluxDown", ("y", "x"), *flux_down)
+        put("fluxAbsorbed", ("y", "x"), *flux_absorbed)
         if absorption_profile is not None:
             put("absorptionProfile", ("z",), *absorption_profile)
         if absorbed_volume is not None:
-            put("absorbedVolume", ("x", "y", "z"), *absorbed_volume)
+            put("absorbedVolume", ("z", "y", "x"), *absorbed_volume)
         if intensity is not None:
             nd = intensity[0].shape[-1]
             nc.createDimension("direction", nd)
@@ -168,4 +175,4 @@ def write_results_netcdf(path, cfg, x_edges, y_edges, z_edges,
                 intensity_mus, np.float32)
             nc.createVariable("intensityPhis", "f", ("direction",))[:] = np.asarray(
                 intensity_phis, np.float32)
-            put("intensity", ("x", "y", "direction"), *intensity)
+            put("intensity", ("direction", "y", "x"), *intensity)

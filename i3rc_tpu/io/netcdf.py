@@ -15,6 +15,15 @@ Convention notes:
     (opticalProperties.f95:1013-1016).
   * tables store either "Angle-Value" (shared angle grid) or
     "LegendreCoefficients" (concatenated with start/length vectors).
+  * DIMENSION ORDER: the Fortran netCDF API lists dimensions fastest-
+    varying FIRST, so a variable declared (/xDim, yDim, zDim/) in the
+    reference is (z, y, x) in on-disk/CDL order.  Every multi-dimensional
+    variable here is therefore created with the REVERSED dimension tuple
+    and written transposed: Extinction etc. as CDL (z, y, x)
+    (opticalProperties.f95:627-643), phaseFunctionValues as CDL
+    (entry, angle) (scatteringPhaseFunctions.f95:1023-1024).  Round-trip
+    tests alone cannot catch this (a consistent transpose is self-
+    inverse); the frozen goldens in tests/goldens pin the true layout.
 """
 
 from __future__ import annotations
@@ -74,10 +83,12 @@ def add_phase_function_table(nc, table: PhaseFunctionTable, prefix: str = "") ->
         ang_v = nc.createVariable(prefix + "scatteringAngle", "f",
                                   (prefix + "scatteringAngle",))
         ang_v[:] = angles.astype(np.float32)
+        # CDL (entry, angle) == the reference's Fortran (/angle, entry/)
+        # declaration (scatteringPhaseFunctions.f95:1023-1024).
         val_v = nc.createVariable(prefix + "phaseFunctionValues", "f",
-                                  (prefix + "scatteringAngle",
-                                   prefix + "phaseFunctionNumber"))
-        vals = np.stack([p.value for p in table.phase_functions], axis=1)
+                                  (prefix + "phaseFunctionNumber",
+                                   prefix + "scatteringAngle"))
+        vals = np.stack([p.value for p in table.phase_functions], axis=0)
         val_v[:] = vals.astype(np.float32)
         setattr(nc, prefix + "phaseFunctionStorageType", "Angle-Value")
     else:
@@ -109,7 +120,8 @@ def read_phase_function_table_nc(nc, prefix: str = "") -> PhaseFunctionTable:
     description = _att(nc, prefix + "description", "") or ""
     if storage == "Angle-Value":
         angles = _var(nc, prefix + "scatteringAngle").astype(np.float64)
-        values = _var(nc, prefix + "phaseFunctionValues").astype(np.float64)
+        # On disk CDL (entry, angle); in memory (angle, entry).
+        values = _var(nc, prefix + "phaseFunctionValues").astype(np.float64).T
         return PhaseFunctionTable.from_tabulated(angles, values, key, ext, ssa,
                                                  description=description)
     if storage == "LegendreCoefficients":
@@ -172,10 +184,12 @@ def write_domain(domain: Domain, file_name: str) -> None:
                 ssa = comp.single_scattering_albedo[0, 0]
                 idx = comp.phase_function_index[0, 0]
             else:
-                dims = ("x-Grid", "y-Grid", z_dim)
-                ext = comp.extinction
-                ssa = comp.single_scattering_albedo
-                idx = comp.phase_function_index
+                # CDL (z, y, x) == the reference's Fortran (/x, y, z/)
+                # declaration (opticalProperties.f95:627-643).
+                dims = (z_dim, "y-Grid", "x-Grid")
+                ext = comp.extinction.T
+                ssa = comp.single_scattering_albedo.T
+                idx = comp.phase_function_index.T
             ev = nc.createVariable(prefix + "Extinction", "f", dims)
             sv = nc.createVariable(prefix + "SingleScatteringAlbedo", "f", dims)
             iv = nc.createVariable(prefix + "PhaseFunctionIndex", "h", dims)
@@ -197,9 +211,11 @@ def read_domain(file_name: str) -> Domain:
             prefix = f"Component{i}_"
             name = _att(nc, prefix + "Name", f"component {i}")
             z_base = int(_att(nc, prefix + "zLevelBase", 1)) - 1
-            ext = _var(nc, prefix + "Extinction").astype(np.float64)
-            ssa = _var(nc, prefix + "SingleScatteringAlbedo").astype(np.float64)
-            idx = _var(nc, prefix + "PhaseFunctionIndex").astype(np.int32) - 1
+            # 3-D fields are CDL (z, y, x) on disk (see module docstring);
+            # horizontally uniform components are 1-D (z,) either way.
+            ext = _var(nc, prefix + "Extinction").astype(np.float64).T
+            ssa = _var(nc, prefix + "SingleScatteringAlbedo").astype(np.float64).T
+            idx = (_var(nc, prefix + "PhaseFunctionIndex").astype(np.int32) - 1).T
             table = read_phase_function_table_nc(nc, prefix)
             domain = domain.add_component(name, ext, ssa, idx, table,
                                           z_level_base=z_base)

@@ -69,15 +69,18 @@ def test_monte_carlo_driver_flux_outputs(tmp_path):
     total = m[0][0] + 0.7 * m[1][0] + m[2][0]
     assert total == pytest.approx(2.0, rel=5e-3)
 
-    # netCDF result file structure
+    # netCDF result file structure.  On-disk CDL order is the REVERSE of
+    # the reference's Fortran declaration (/x, y/): fluxUp(y, x)
+    # (monteCarloDriver.f95:724-725; see drivers/results_io.py).
     with netcdf_file(str(tmp_path / "out.nc"), "r", mmap=False) as nc:
-        assert nc.variables["fluxUp"].shape == (32, 1)
+        assert nc.variables["fluxUp"].shape == (1, 32)
+        assert nc.variables["fluxUp"].dimensions == ("y", "x")
+        assert nc.variables["absorbedVolume"].dimensions == ("z", "y", "x")
         assert "fluxUp_StdErr" in nc.variables
         assert "absorptionProfile" in nc.variables
-        assert "absorbedVolume" in nc.variables
         assert nc.Algorithm == b"Max_cross_section"
         assert int(nc.Number_of_batches) == 8
-        np.testing.assert_allclose(np.array(nc.variables["fluxUp"][...]),
+        np.testing.assert_allclose(np.array(nc.variables["fluxUp"][...]).T,
                                    out["flux_up"][0], rtol=1e-6)
 
 
