@@ -359,6 +359,17 @@ class FastPlan:
     # detectors ride the closed shadow trace (cloud tau closed-form, gas
     # tau from the carried per-k cumulative).
     gas_k: object = None
+    # Uniform-parameter BRDF surface (Cox-Munk / RPV / Ross-Li / gridless
+    # Lambertian): reflection resolves at the per-block flush like the
+    # Lambertian Bernoulli — revive with probability min(R, 1) under the
+    # cosine-weighted outgoing draw, with the excess max(R, 1) carried on
+    # a per-lane weight that multiplies every tally (the weight is
+    # constant within a K-event block, so it never enters the Pallas
+    # kernel).  brdf_fn is the traceable kernel; brdf_params the (n_p,)
+    # parameter vector.  Reference swap point: surfaceProperties.f95:
+    # 154-162 inside monteCarloRadiativeTransfer.f95:515-563.
+    brdf_fn: object = None
+    brdf_params: object = None
 
 
 def fast_plan(geom, flat, optics, surface, intensity, config) -> FastPlan | None:
@@ -368,34 +379,59 @@ def fast_plan(geom, flat, optics, surface, intensity, config) -> FastPlan | None
     single-component optics with uniform ssa in (0, 1] and one HG phase
     function — optionally plus a horizontally-uniform pure-absorber second
     component (the spectral gas shape; see FastPlan.gas_factor) — a
-    Lambertian surface (any albedo; BRDFs go general), non-ray-tracing
-    transport, regular grid, separable few-segment extinction.  Radiance
-    detectors are supported with the default estimator configuration (exact
-    transmittance traces — no Iwabuchi roulette, ratio tracking, hybrid
-    phase functions, or clipping; the traces are cheap enough that the
-    exact estimator is both faster and lower-variance than the reference's
-    accelerations), for HG (analytic phase value) and single-entry
-    tabulated tables (log-cubic forward read, FastPlan.fwd_cubic); the
-    transmittance is closed-form when at most one horizontal factor varies
-    (FastPlan.closed_shadow) and a step-bounded segment march otherwise.
-    Gas-channel plans admit detectors on the closed trace only (the gas
-    adds its own vertical closed-form segments to every shadow ray).
+    Lambertian surface (any albedo) or a uniform-parameter BRDF surface
+    (Cox-Munk / RPV / Ross-Li; gridded parameter fields go general),
+    non-ray-tracing transport, regular grid, separable few-segment
+    extinction.  Radiance detectors are supported with exact transmittance
+    traces for HG (analytic phase value) and single-entry tabulated tables
+    (log-cubic forward read, FastPlan.fwd_cubic); Iwabuchi roulette
+    (zeta_min) is honored as an elementwise rule on the exact tau, and
+    ratio-tracking requests upgrade to the exact trace (same expectation,
+    lower variance).  Hybrid phase functions and contribution clipping go
+    general (they change the estimator).  The transmittance is closed-form
+    when at most one horizontal factor varies (FastPlan.closed_shadow) and
+    a step-bounded segment march otherwise.  Gas-channel plans admit
+    detectors on the closed trace only (the gas adds its own vertical
+    closed-form segments to every shadow ray).
     """
     if not getattr(config, "use_fastpath", True):
         return None
     if config.use_ray_tracing:
         return None
     if intensity is not None and (
-            config.use_russian_roulette_for_intensity
-            or config.use_ratio_tracking_for_intensity
-            or config.use_hybrid_phase_funs
+            config.use_hybrid_phase_funs
             or config.limit_intensity_contributions):
+        # Hybrid forward peaks and contribution clipping change the
+        # estimator itself; they stay on the general kernel.  Iwabuchi
+        # roulette IS admitted — the closed/marching shadow trace supplies
+        # the exact tau its test needs (see the detector block in
+        # fast_event; monteCarloRadiativeTransfer.f95:1536-1596) — and
+        # ratio tracking upgrades to the exact trace: identical
+        # expectation, strictly lower variance, and the fastpath's
+        # transmittance is closed-form rather than a per-cell march, so
+        # the cost ratio tracking exists to avoid is already gone.
         return None
+    brdf_fn = None
+    brdf_params = None
     if surface.uses_brdf:
-        return None
-    surface_albedo = float(surface.albedo)
-    if not (0.0 <= surface_albedo <= 1.0):
-        return None
+        # Uniform-parameter BRDFs ride the flush-time importance draw
+        # (reference swap point surfaceProperties.f95:154-162 + reflection
+        # sampling monteCarloRadiativeTransfer.f95:515-563): bottom hits
+        # pend as kind 2 exactly like Lambertian, and the per-block glue
+        # draws the cosine-weighted outgoing direction, evaluates the BRDF
+        # kernel, revives with probability min(R, 1) and carries max(R, 1)
+        # on the lane weight (see make_fast_tracer's brdf_mode).  Gridded
+        # parameter fields would need a per-lane parameter gather at every
+        # flush — they stay on the general kernel.
+        if not (surface.n_xs == 1 and surface.n_ys == 1):
+            return None
+        brdf_fn = surface.brdf_fn
+        brdf_params = np.asarray(surface.params, np.float32).reshape(-1)
+        surface_albedo = 0.0
+    else:
+        surface_albedo = float(surface.albedo)
+        if not (0.0 <= surface_albedo <= 1.0):
+            return None
     if not (geom.xy_regular and geom.z_regular):
         return None
 
@@ -604,7 +640,8 @@ def fast_plan(geom, flat, optics, surface, intensity, config) -> FastPlan | None
                     gas_factor=gas_factor, gas_idx=gas_idx,
                     cubic=cubic, surface_albedo=surface_albedo,
                     column_props=per_col_props, cubic_entries=cubic_entries,
-                    closed_shadow=closed_shadow, fwd_cubic=fwd_cubic)
+                    closed_shadow=closed_shadow, fwd_cubic=fwd_cubic,
+                    brdf_fn=brdf_fn, brdf_params=brdf_params)
 
 
 # ---------------------------------------------------------------------------
@@ -841,6 +878,21 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
     # uniform; absorbed photons die with pending kind 3.
     absorbing = plan.ssa < 1.0
     n_draws = 4 if absorbing else 3
+    # Iwabuchi (2006) intensity Russian roulette (config.zeta_min,
+    # monteCarloRadiativeTransfer.f95:1536-1596): the shadow trace already
+    # yields the EXACT tau, so the roulette reduces to an elementwise rule
+    # on it (one extra uniform per detector per event) — same estimator
+    # distribution as the general kernel's trace-capped form (the cap
+    # there only randomizes WHERE the trace stops; the contribution law
+    # given tau is identical).  Ratio-tracking requests use the exact
+    # trace instead (same expectation, strictly lower variance — see
+    # fast_plan's eligibility note).
+    iw_mode = bool(plan.detectors) and bool(
+        getattr(config, "use_russian_roulette_for_intensity", False))
+    iw_base = n_draws
+    if iw_mode:
+        n_draws += len(plan.detectors)
+        zeta_iw = np.float32(max(float(config.zeta_min), 1e-30))
     # Reflecting Lambertian surface (see FastPlan.surface_albedo): bottom
     # hits PAUSE the lane (pending kind 2, exactly like a black-surface
     # exit) and resolve at the per-block flush: Fdn tallies at the frozen
@@ -852,7 +904,24 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
     # idles for the remainder of its K-event block (measured cheaper than
     # the per-event eager tally it replaces), and the event kernel stays
     # surface-agnostic — reflecting runs keep the full Pallas speed.
-    reflecting = plan.surface_albedo > 0.0
+    #
+    # BRDF surfaces (see FastPlan.brdf_fn) resolve at the same flush hook:
+    # the glue evaluates R = brdf_fn(params, mu_in, mu_out, phi_in,
+    # phi_out) under the cosine-weighted outgoing draw (the reference's
+    # mu = sqrt(u) + weight *= R, monteCarloRadiativeTransfer.f95:542-563)
+    # and revives with probability min(R, 1), carrying max(R, 1) on a
+    # per-lane weight ``wgt``.  R <= 1 is exactly the Lambertian Bernoulli
+    # generalized; R > 1 (glint peaks, hotspots) keeps the estimator
+    # unbiased for any R >= 0.  wgt is constant within a K-event block
+    # (it only changes at the flush), so it never enters the Pallas
+    # kernel: the glue scales flush tallies and replayed detector records.
+    brdf_mode = plan.brdf_fn is not None
+    if brdf_mode:
+        brdf_fn = plan.brdf_fn
+        brdf_params = jnp.asarray(plan.brdf_params, jnp.float32)
+        det_phi = tuple(float(np.arctan2(dyd, dxd))
+                        for (dxd, dyd, _, _) in plan.detectors)
+    reflecting = plan.surface_albedo > 0.0 or brdf_mode
     # Gas channel (see FastPlan.gas_factor): per-lane exponential gas-tau
     # threshold (tgas, state slot 13) consumed along every traveled step;
     # crossing it is a kind-3 death at the crossing point.  The chain
@@ -1211,7 +1280,7 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
     bonus_base = n_draws
     n_draws += CHAIN * bonus_draws
 
-    def fast_event(u, st, gas=None, det_sink=None):
+    def fast_event(u, st, gas=None, det_sink=None, wgt=None):
         (alive, x, y, z, ux, uy, uz, tau_rem, orders, pk, bad, evct,
          acc_int) = st[:13]
         idx_extra = 13
@@ -1453,7 +1522,30 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
                     g_exit = gk_gtop_lane if dzd > 0.0 else 0.0
                     tau_d = tau_d + jnp.maximum(
                         (g_exit - gcur) * jnp.float32(1.0 / dzd), 0.0)
-                contrib = jnp.where(ok, norm_pf * jnp.exp(-tau_d), 0.0)
+                if iw_mode:
+                    # Iwabuchi Eq 13/14 on the exact tau (the general
+                    # kernel's trace cap only randomizes where the trace
+                    # stops; given tau, the contribution law is this):
+                    #   pf_pi <= zeta: accept w.p. pf_pi/zeta -> zeta/pi
+                    #   else: tau <= tau_max -> exact; beyond tau_max,
+                    #         survive w.p. exp(tau_max - tau) -> zeta/pi.
+                    u_iw = u[iw_base + d]
+                    pf_pi = jnp.float32(np.pi) * norm_pf
+                    tau_max = -jnp.log(zeta_iw / jnp.maximum(pf_pi, TINY))
+                    zp = jnp.float32(float(zeta_iw) / np.pi)
+                    c_small = jnp.where(u_iw * zeta_iw <= pf_pi, zp, 0.0)
+                    c_large = jnp.where(
+                        tau_d <= tau_max, norm_pf * jnp.exp(-tau_d),
+                        jnp.where(u_iw < jnp.exp(tau_max - tau_d), zp, 0.0))
+                    contrib = jnp.where(
+                        ok, jnp.where(pf_pi <= zeta_iw, c_small, c_large),
+                        0.0)
+                else:
+                    contrib = jnp.where(ok, norm_pf * jnp.exp(-tau_d), 0.0)
+                if wgt is not None:
+                    # BRDF lane weight (XLA path; the Pallas path scales
+                    # the replayed records in the glue instead).
+                    contrib = contrib * wgt
                 if gask_mode:
                     # Spectral weight w_k * n_photons / budget_k, same as
                     # the flux tallies (flush): the detector fields
@@ -1632,7 +1724,7 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
                  and (absorbing or gas_mode))
     inv_dz_cell = np.float32(n_z / (z_max - z0))
 
-    def flush(columns, vol, pk, x, y, z):
+    def flush(columns, vol, pk, x, y, z, wgt=None):
         # The tally column comes from the frozen exit position (exits commit
         # the wrapped boundary point into x/y; absorptions the collision
         # point), so the event step never computes a per-event column index.
@@ -1645,6 +1737,8 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
         kinds = [(pk == 1), (pk == 2)] + (
             [(pk == 3)] if absorbing or gas_mode else [])
         vals = jnp.stack([k.astype(jnp.float32) for k in kinds], axis=1)
+        if wgt is not None:
+            vals = vals * wgt[:, None]     # BRDF lane weight
         if gask_mode:
             # Lane-static spectral weight w_k * n_photons / budget_k: the
             # tallies accumulate the weighted band sum directly.
@@ -1653,6 +1747,8 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
             iz = jnp.clip(((z - z0) * inv_dz_cell).astype(jnp.int32),
                           0, n_z - 1)
             w3 = (pk == 3).astype(jnp.float32)
+            if wgt is not None:
+                w3 = w3 * wgt
             if gask_mode:
                 w3 = w3 * gk_lane_w
             if n_cols * n_z <= (1 << 18):
@@ -1746,7 +1842,11 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
                         jnp.float32)
 
         def body(carry):
-            kb, launched, st, columns, vol, srf = carry
+            if brdf_mode:
+                kb, launched, st, columns, vol, srf, wgt = carry
+            else:
+                kb, launched, st, columns, vol, srf = carry
+                wgt = None
             (alive, x, y, z, ux, uy, uz, tau_rem, orders, pk,
              bad, evct, acc_int) = st[:13]
             if gas_mode:
@@ -1762,53 +1862,106 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
             ux, uy, uz = ux * rn, uy * rn, uz * rn
             hit_bot = pk == 2        # before the flush zeroes pk
             # Flush last block's deaths, then refill those lanes (FIFO).
-            columns, vol, pk = flush(columns, vol, pk, x, y, z)
+            columns, vol, pk = flush(columns, vol, pk, x, y, z, wgt=wgt)
             if reflecting:
                 # Surface resolution (see `reflecting` above): Fdn is
                 # already tallied by the flush (kind 2); revive the lane
-                # with probability A, fresh Lambertian direction, before
-                # the refill can claim it.  tau_rem carries through the
-                # bounce (free-path memorylessness).
+                # with probability A — or min(R, 1) under the BRDF kernel,
+                # carrying max(R, 1) on the lane weight — with a fresh
+                # cosine-weighted direction, before the refill can claim
+                # it.  tau_rem carries through the bounce (free-path
+                # memorylessness).
                 u_r = jax.random.uniform(
                     jax.random.fold_in(key, -kb - 1 - (1 << 25)), (3, L),
                     dtype=jnp.float32)
-                revive = hit_bot & (u_r[0] < jnp.float32(plan.surface_albedo))
+                mu_r = jnp.maximum(jnp.sqrt(u_r[1]), jnp.float32(1e-6))
+                sin_r = jnp.sqrt(jnp.maximum(1.0 - u_r[1], 0.0))
+                sch, cch = _sincos_2pi(u_r[2])
+                if brdf_mode:
+                    # R = brdf(params, in, out) under the cosine-weighted
+                    # draw — the reference's weight *= R at mu = sqrt(u)
+                    # (monteCarloRadiativeTransfer.f95:542-563) in
+                    # Bernoulli-plus-carry form: unbiased for any R >= 0.
+                    phi_in = jnp.arctan2(uy, ux)
+                    phi_out = jnp.float32(2.0 * np.pi) * u_r[2]
+                    refl = jnp.maximum(
+                        brdf_fn(brdf_params, uz, mu_r, phi_in, phi_out),
+                        0.0)
+                    revive = hit_bot & (u_r[0] < jnp.minimum(refl, 1.0))
+                else:
+                    revive = hit_bot & (
+                        u_r[0] < jnp.float32(plan.surface_albedo))
                 if D:
                     # Surface radiance (component 0): Lambertian emission
                     # is direction-independent — weight-1 survivors
                     # contribute 1/pi x exp(-tau) at the shadow ray's exit
                     # column, the A-expectation of the general kernel's
                     # w*A/pi (computeIntensityContribution :1473-1480).
+                    # BRDF surfaces estimate on EVERY bottom hit instead:
+                    # R(in -> detector)/pi with the PRE-reflection lane
+                    # weight (the general kernel's surface_detector_pf —
+                    # the sampled bounce's R may be ~0 while the detector
+                    # direction's is not).
                     zs = jnp.where(hit_bot, z0 + nudge_z, z)
                     pos_ys = y if track_y else None
+                    emit_s = hit_bot if brdf_mode else revive
+                    if iw_mode:
+                        u_s = jax.random.uniform(
+                            jax.random.fold_in(key, -kb - 1 - (1 << 26)),
+                            (D, L), dtype=jnp.float32)
                     for d in range(D):
                         if plan.detectors[d][2] <= 0.0:
-                            # Lambertian reflection emits upward only; the
+                            # Surface reflection emits upward only; the
                             # general kernel agrees operationally (its trace
                             # from the boundary in a downward direction is a
                             # zero-step trace, dropped as BAD — matching the
                             # reference's non-positive-step guard,
                             # monteCarloRadiativeTransfer.f95:1711-1714).
                             continue
-                        tau_d, col_d, okd = shadow_fn(d, revive, x,
+                        tau_d, col_d, okd = shadow_fn(d, emit_s, x,
                                                       pos_ys, zs)
                         if gask_mode:
                             # Revived lanes sit at the surface: the per-k
                             # gas tau to the top is the full column.
                             tau_d = tau_d + gk_gtop_lane * jnp.float32(
                                 1.0 / plan.detectors[d][2])
-                        contrib = jnp.where(
-                            okd, jnp.float32(1.0 / np.pi) * jnp.exp(-tau_d),
-                            0.0)
+                        if brdf_mode:
+                            refl_d = jnp.maximum(brdf_fn(
+                                brdf_params, uz,
+                                jnp.float32(plan.detectors[d][2]), phi_in,
+                                jnp.float32(det_phi[d])), 0.0)
+                            npf_s = refl_d * jnp.float32(1.0 / np.pi)
+                        else:
+                            npf_s = jnp.float32(1.0 / np.pi)
+                        if iw_mode:
+                            # Same Iwabuchi rule as the collision block.
+                            pf_pi_s = jnp.float32(np.pi) * npf_s
+                            tmax_s = -jnp.log(
+                                zeta_iw / jnp.maximum(pf_pi_s, TINY))
+                            zp_s = jnp.float32(float(zeta_iw) / np.pi)
+                            cs_ = jnp.where(u_s[d] * zeta_iw <= pf_pi_s,
+                                            zp_s, 0.0)
+                            cl_ = jnp.where(
+                                tau_d <= tmax_s, npf_s * jnp.exp(-tau_d),
+                                jnp.where(u_s[d] < jnp.exp(tmax_s - tau_d),
+                                          zp_s, 0.0))
+                            contrib = jnp.where(
+                                okd, jnp.where(pf_pi_s <= zeta_iw, cs_, cl_),
+                                0.0)
+                        else:
+                            contrib = jnp.where(
+                                okd, npf_s * jnp.exp(-tau_d), 0.0)
+                        if brdf_mode:
+                            contrib = contrib * wgt   # pre-reflection weight
                         if gask_mode:
                             contrib = contrib * gk_lane_w
                         vals = jnp.stack(
                             [contrib if j == d else jnp.zeros_like(contrib)
                              for j in range(D)], axis=1)
                         srf = tally_multi(srf, col_d, vals)
-                mu_r = jnp.maximum(jnp.sqrt(u_r[1]), jnp.float32(1e-6))
-                sin_r = jnp.sqrt(jnp.maximum(1.0 - u_r[1], 0.0))
-                sch, cch = _sincos_2pi(u_r[2])
+                if brdf_mode:
+                    wgt = jnp.where(revive, wgt * jnp.maximum(refl, 1.0),
+                                    wgt)
                 ux = jnp.where(revive, sin_r * cch, ux)
                 uy = jnp.where(revive, sin_r * sch, uy)
                 uz = jnp.where(revive, mu_r, uz)
@@ -1849,6 +2002,8 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
                     dtype=jnp.float32)
                 tgas = jnp.where(refill, exponential_deviate(u_g), tgas)
                 gcur = jnp.where(refill, gk_launch_G, gcur)
+                if brdf_mode:
+                    wgt = jnp.where(refill, 1.0, wgt)
                 refill_i = refill.astype(jnp.int32)
                 launched = launched + jnp.stack(
                     [jnp.sum(refill_i[s:e]) for s, e in gk_slices])
@@ -1876,6 +2031,8 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
                         jax.random.fold_in(key, -kb - 1 - (1 << 24)), (L,),
                         dtype=jnp.float32)
                     tgas = jnp.where(refill, exponential_deviate(u_g), tgas)
+                if brdf_mode:
+                    wgt = jnp.where(refill, 1.0, wgt)
                 launched = launched + jnp.sum(refill.astype(jnp.int32))
                 alive = alive | refill
             st = (alive, x, y, z, ux, uy, uz, tau_rem, orders, pk,
@@ -1891,10 +2048,13 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
                     # Replay the K x D recorded (contribution, column)
                     # pairs through the flat per-detector one-hot tally —
                     # identical expectation to the XLA fastpath's per-event
-                    # tally_multi, off the hot loop.
+                    # tally_multi, off the hot loop.  The BRDF lane weight
+                    # is constant across the block, so it scales the
+                    # records here instead of entering the Mosaic kernel.
                     af = st[12].reshape(n_cols * D, 1)
                     for i, (c_, col_) in enumerate(recs):
-                        af = tally_multi(af, col_ * D + (i % D), c_[:, None])
+                        cw = c_ * wgt if brdf_mode else c_
+                        af = tally_multi(af, col_ * D + (i % D), cw[:, None])
                     st = st[:12] + (af.reshape(n_cols, D),) + st[13:]
                 else:
                     st = pallas_block(seed2, st)
@@ -1906,11 +2066,13 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
                 for j in range(K):
                     u = jax.random.uniform(jax.random.fold_in(key, kb * K + j),
                                            (n_draws, L), dtype=jnp.float32)
-                    st = fast_event(u, st, gas=gas_eval)
-            return kb + 1, launched, st, columns, vol, srf
+                    st = fast_event(u, st, gas=gas_eval,
+                                    wgt=wgt if brdf_mode else None)
+            out = (kb + 1, launched, st, columns, vol, srf)
+            return out + ((wgt,) if brdf_mode else ())
 
         def cond(carry):
-            kb, launched, st, _, _, _ = carry
+            kb, launched, st = carry[0], carry[1], carry[2]
             budget_open = (jnp.sum(launched) < n_photons_total if gask_mode
                            else launched < n_photons)
             live = jnp.any(st[0]) | budget_open
@@ -1928,17 +2090,22 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
             # Sentinel key 0xB0000000, disjoint (as uint32) from the
             # positive event keys fold_in(key, kb*K + j) (< ~2^26) AND the
             # wrapped negative refill keys -kb-1 / gas-refill -kb-1-(1<<24)
-            # / surface-revive -kb-1-(1<<25) (all >= 2^32 - 2^26): the
-            # launch gas thresholds must not reuse any event block's
-            # transport stream.
+            # / surface-revive -kb-1-(1<<25) / surface-Iwabuchi
+            # -kb-1-(1<<26) (all >= 2^32 - 2^27): the launch gas
+            # thresholds must not reuse any event block's transport stream.
             tgas0 = exponential_deviate(jax.random.uniform(
                 jax.random.fold_in(key, 0xB0000000), (L,), dtype=jnp.float32))
             st = st + (tgas0,)
         if gask_mode:
             st = st + (gk_launch_G,)
-        kb, launched, st, columns, vol, srf_acc = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), launched, st, columns, vol, srf0))
-        columns, vol, _ = flush(columns, vol, st[9], st[1], st[2], st[3])
+        carry0 = (jnp.int32(0), launched, st, columns, vol, srf0)
+        if brdf_mode:
+            carry0 = carry0 + (jnp.ones(L, jnp.float32),)
+        fin = jax.lax.while_loop(cond, body, carry0)
+        kb, launched, st, columns, vol, srf_acc = fin[:6]
+        wgt_fin = fin[6] if brdf_mode else None
+        columns, vol, _ = flush(columns, vol, st[9], st[1], st[2], st[3],
+                                wgt=wgt_fin)
         # Lanes alive at the block cap vanish with their weight: count bad
         # (in reflecting mode a paused bottom hit loses its possible
         # continuation the same way — its Fdn is already tallied).

@@ -96,6 +96,18 @@ SLOW_TESTS = [
     # 35 s statistical consistency gate; the deterministic closed-form BRDF
     # radiance pins stay in the quick tier.
     "test_misc_features.py::test_brdf_lambertian_equivalence_radiance",
+    # Round-4 statistical gates vs the general kernel (BRDF fastpath,
+    # fastpath Iwabuchi, chained/sharded radiance, multi-component
+    # sharding).  Quick tier keeps: test_brdf_surface_on_fastpath
+    # (closed-form transparent-domain gates), the deterministic
+    # test_brdf_radiance pin inside test_brdf_radiance_on_fastpath's slow
+    # sibling is covered by test_pallas_matches_xla_brdf_surface, and
+    # test_ratio_tracking_upgrades_to_exact_on_fastpath.
+    "test_fastpath.py::test_brdf_flux_matches_general_kernel",
+    "test_fastpath.py::test_brdf_radiance_matches_general_kernel",
+    "test_fastpath.py::test_iwabuchi_on_fastpath",
+    "test_serial_path.py::test_chained_radiance_tracer_matches_inline",
+    "test_sharded_domain.py::test_sharded_multicomponent_tabulated",
 ]
 
 

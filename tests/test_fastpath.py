@@ -77,14 +77,21 @@ def test_file_round_trip_keeps_eligibility(tmp_path):
 @pytest.mark.parametrize("kwargs,cfg", [
     # ray tracing transport is not expressible
     (dict(), IntegratorConfig(use_ray_tracing=True)),
-    # BRDF surfaces (RPV etc.) use the general reflection machinery
+    # GRIDDED BRDF parameter fields need a per-lane parameter gather at
+    # every flush -> general kernel (uniform-parameter BRDFs are eligible:
+    # see test_brdf_surface_on_fastpath)
     (dict(surface=__import__("i3rc_tpu.core.surface", fromlist=["S"])
-          .SurfaceDescription.uniform([0.2, 0.8, -0.1], brdf_name="rpv")),
+          .SurfaceDescription.create(
+              np.tile(np.float32([0.2, 0.8, -0.1]), (2, 1, 1)),
+              [0.0, 250.0, 500.0], [0.0, 500.0], brdf_name="rpv")),
      FAST_CFG),
-    # non-default radiance estimators use the general local-estimate machinery
+    # estimator-CHANGING radiance options use the general local-estimate
+    # machinery (Iwabuchi roulette and ratio tracking are eligible: the
+    # exact tau is available — see test_iwabuchi_on_fastpath)
     (dict(intensity_mus=[0.5], intensity_phis=[0.0]),
      IntegratorConfig(use_ray_tracing=False, compute_volume_absorption=False,
-                      use_russian_roulette_for_intensity=True)),
+                      limit_intensity_contributions=True,
+                      max_intensity_contribution=0.1)),
     (dict(intensity_mus=[0.5], intensity_phis=[0.0]),
      IntegratorConfig(use_ray_tracing=False, compute_volume_absorption=False,
                       use_hybrid_phase_funs=True)),
@@ -1215,3 +1222,270 @@ def test_gas_radiance_matches_general_kernel():
     # bound; the radiance agreement above is the real gate.
     np.testing.assert_allclose(
         float(rf.mean_flux_up), float(rg.mean_flux_up), rtol=0.12)
+
+
+def _thin_domain():
+    """Essentially transparent 1-cell domain (surface physics isolated)."""
+    from i3rc_tpu.core.optics import Domain
+    from i3rc_tpu.core.phase_functions import (
+        PhaseFunction, PhaseFunctionTable, henyey_greenstein_coefficients)
+
+    table = PhaseFunctionTable.from_phase_functions(
+        [PhaseFunction.from_legendre(henyey_greenstein_coefficients(0.85, 64))],
+        key=[1.0])
+    dom = Domain.create([0, 500.0], [0, 500.0], [0.0, 250.0])
+    ext = np.full((1, 1, 1), 1e-9)
+    return dom.add_component("thin", ext, np.ones_like(ext),
+                             np.zeros(ext.shape, np.int32), table)
+
+
+def test_brdf_surface_on_fastpath():
+    """Uniform-parameter BRDF surfaces ride the flush-time importance draw
+    (FastPlan.brdf_fn): revive w.p. min(R, 1) under the cosine-weighted
+    outgoing draw, excess max(R, 1) carried on the lane weight.  Quick
+    gates (fastpath only — the general-kernel cross-check is the slow-tier
+    test below): (a) eligibility incl. Pallas; (b) the 'lambertian' BRDF
+    kernel reproduces the scalar-albedo path; (c) transparent-domain
+    Cox-Munk Fup equals the host-side hemispheric expectation of the same
+    kernel under the cosine-weighted draw (closed-form Monte Carlo)."""
+    from i3rc_tpu.core.surface import SurfaceDescription, cox_munk_brdf
+    from i3rc_tpu.integrators.integrator import Integrator
+    from i3rc_tpu.models.step_cloud import make_step_cloud
+
+    n = 1 << 14
+
+    # (a) eligibility (host-side only — no compile): every registered
+    # uniform BRDF elects the fastpath; gridded fields are tested
+    # ineligible in test_ineligible_configs_fall_back.
+    for name, params in (("lambertian", [0.3]), ("rpv", [0.2, 0.8, -0.1]),
+                         ("cox_munk", [8.0, 1.34]),
+                         ("ross_li", [0.2, 0.05, 0.02])):
+        integ = Integrator.create(
+            make_step_cloud(1.0), config=FAST_CFG,
+            surface=SurfaceDescription.uniform(np.float32(params),
+                                               brdf_name=name))
+        plan = _plan(integ)
+        assert plan is not None and plan.brdf_fn is not None, name
+
+    # (b) transparent domain: photons arrive at mu=-0.7/phi=30 exactly
+    # once; E[Fup] = E_u1,u2[ R(in -> sqrt(u1), 2 pi u2) ], evaluated on a
+    # dense host-side grid of the SAME kernel (midpoint rule).
+    import jax.numpy as jnp
+    surf = SurfaceDescription.uniform(np.float32([8.0, 1.34]),
+                                      brdf_name="cox_munk")
+    f0 = Integrator.create(_thin_domain(), config=FAST_CFG, surface=surf)
+    assert _plan(f0) is not None and _plan(f0).brdf_fn is not None
+    r = f0.batch_fn(PhotonSource.directional(0.7, 30.0), n)(
+        jax.random.PRNGKey(23))
+    g = 256
+    u1 = (np.arange(g) + 0.5) / g
+    u2 = (np.arange(g) + 0.5) / g
+    mu_o = np.sqrt(u1)[:, None] * np.ones((1, g))
+    phi_o = 2.0 * np.pi * u2[None, :] * np.ones((g, 1))
+    refl = np.asarray(cox_munk_brdf(
+        jnp.float32([8.0, 1.34]), jnp.float32(-0.7),
+        jnp.asarray(mu_o, jnp.float32), jnp.float32(np.deg2rad(30.0)),
+        jnp.asarray(phi_o, jnp.float32)))
+    expect = float(refl.mean())
+    # Glint weights fatten the tails: allow ~6 sigma of a Bernoulli bound.
+    sig = np.sqrt(max(expect * (1 + expect), 0.05) / n)
+    assert float(r.mean_flux_up) == pytest.approx(expect, abs=6 * sig)
+    assert float(r.mean_flux_down) == pytest.approx(1.0, abs=1e-4)
+    assert int(r.n_bad) == 0
+
+
+def test_brdf_flux_matches_general_kernel():
+    """Cox-Munk glint and Ross-Li hotspot fluxes: fastpath (Bernoulli +
+    weight carry) vs the general kernel (continuous weights) — same
+    expectation, 4-sigma two-sample gates.  Slow tier (general-kernel
+    photon budget)."""
+    from i3rc_tpu.core.surface import SurfaceDescription
+    from i3rc_tpu.integrators.integrator import Integrator
+    from i3rc_tpu.models.step_cloud import make_step_cloud
+
+    n = 1 << 15
+    src = PhotonSource.directional(0.5, 0.0)
+    gen_cfg = IntegratorConfig(use_ray_tracing=False, max_events=500,
+                               compute_volume_absorption=False,
+                               majorant_block_size=16, use_fastpath=False)
+    # Lambertian-as-BRDF == the scalar-albedo path (wgt stays exactly 1).
+    lam = Integrator.create(
+        make_step_cloud(1.0), config=FAST_CFG,
+        surface=SurfaceDescription.uniform([0.3], brdf_name="lambertian"))
+    alb = Integrator.create(make_step_cloud(1.0), config=FAST_CFG,
+                            surface_albedo=0.3)
+    rl = lam.batch_fn(src, n)(jax.random.PRNGKey(21))
+    ra = alb.batch_fn(src, n)(jax.random.PRNGKey(22))
+    s2 = float(np.sqrt(2 * 0.25 / n))
+    assert float(rl.mean_flux_up) == pytest.approx(float(ra.mean_flux_up),
+                                                   abs=4 * s2)
+    for brdf_name, params in (("cox_munk", [8.0, 1.34]),
+                              ("ross_li", [0.2, 0.05, 0.02])):
+        surf = SurfaceDescription.uniform(np.float32(params),
+                                          brdf_name=brdf_name)
+        f = Integrator.create(make_step_cloud(1.0), config=FAST_CFG,
+                              surface=surf)
+        assert _plan(f) is not None and _plan(f).brdf_fn is not None
+        g = Integrator.create(make_step_cloud(1.0), config=gen_cfg,
+                              surface=surf)
+        rf = f.batch_fn(src, n)(jax.random.PRNGKey(31))
+        rg = g.batch_fn(src, n)(jax.random.PRNGKey(32))
+        # Glint weight carries fatten the tails; measured batch stderr on
+        # this shape is ~1.7e-3 at 2^16 -> 4-sigma two-sample ~ 0.014 at
+        # 2^15.
+        assert float(rf.mean_flux_up) == pytest.approx(
+            float(rg.mean_flux_up), abs=0.017), brdf_name
+        assert float(rf.mean_flux_down) == pytest.approx(
+            float(rg.mean_flux_down), abs=0.017), brdf_name
+        assert int(rf.n_bad) == 0
+
+
+def test_brdf_radiance_on_fastpath():
+    """BRDF surface radiance on the fastpath: every bottom hit estimates
+    R(in -> detector)/pi with the pre-reflection lane weight (the general
+    kernel's surface_detector_pf).  Transparent domain -> the estimate is
+    DETERMINISTIC: I_d == R(sun -> d)/pi from the host-side reference
+    implementation.  The step cloud cross-checks against the general
+    kernel including the surface component slot."""
+    from i3rc_tpu.core.surface import SurfaceDescription
+    from i3rc_tpu.integrators.integrator import Integrator
+    from i3rc_tpu.models.step_cloud import make_step_cloud
+
+    det = dict(intensity_mus=[0.5, -0.5], intensity_phis=[40.0, 0.0])
+    surf = SurfaceDescription.uniform(np.float32([0.2, 0.8, -0.1]),
+                                      brdf_name="rpv")
+    f0 = Integrator.create(_thin_domain(), config=FAST_CFG, surface=surf,
+                           **det)
+    plan = _plan(f0)
+    assert plan is not None and plan.brdf_fn is not None and plan.detectors
+    n = 1 << 14
+    r = f0.compute(jax.random.PRNGKey(3),
+                   PhotonSource.directional(0.7, 30.0), n)
+    iv = np.asarray(r.mean_intensity)
+    expect = float(surf.reflectance_host(
+        np.float32([0.0]), np.float32([0.0]), np.float32([-0.7]),
+        np.float32([0.5]), np.float32([np.deg2rad(30.0)]),
+        np.float32([np.deg2rad(40.0)]))[0]) / np.pi
+    assert iv[0] == pytest.approx(expect, rel=1e-3)
+    assert iv[1] == 0.0          # reflection emits upward only
+
+
+def test_brdf_radiance_matches_general_kernel():
+    """BRDF surface radiance, fastpath vs general kernel on the step cloud
+    (statistical; the deterministic closed-form pin is the quick-tier
+    test above).  Slow tier."""
+    from i3rc_tpu.core.surface import SurfaceDescription
+    from i3rc_tpu.integrators.integrator import Integrator
+    from i3rc_tpu.models.step_cloud import make_step_cloud
+
+    det = dict(intensity_mus=[0.5, -0.5], intensity_phis=[40.0, 0.0])
+    surf = SurfaceDescription.uniform(np.float32([0.2, 0.8, -0.1]),
+                                      brdf_name="rpv")
+    src = PhotonSource.directional(0.5, 0.0)
+    n = 1 << 15
+    f = Integrator.create(make_step_cloud(1.0), config=FAST_CFG,
+                          surface=surf, **det)
+    g = Integrator.create(make_step_cloud(1.0), config=IntegratorConfig(
+        use_ray_tracing=False, max_events=500,
+        compute_volume_absorption=False, majorant_block_size=16,
+        use_fastpath=False), surface=surf, **det)
+    rf = f.batch_fn(src, n)(jax.random.PRNGKey(41))
+    rg = g.batch_fn(src, n)(jax.random.PRNGKey(42))
+    np.testing.assert_allclose(np.asarray(rf.mean_intensity),
+                               np.asarray(rg.mean_intensity), rtol=0.08)
+    bc_f = np.asarray(rf.intensity_by_component).mean(axis=(0, 1))
+    bc_g = np.asarray(rg.intensity_by_component).mean(axis=(0, 1))
+    assert bc_f[0, 0] > 0          # surface slot populated (up detector)
+    np.testing.assert_allclose(bc_f[:, 0], bc_g[:, 0], rtol=0.12)
+
+
+def test_pallas_matches_xla_brdf_surface():
+    """BRDF reflection resolves in the per-block glue, so BRDF runs keep
+    the full Pallas event-block kernel (the lane weight scales replayed
+    records/tallies outside Mosaic).  Cross-check Pallas-vs-XLA fluxes and
+    detector radiances on the step cloud with the Cox-Munk surface."""
+    from i3rc_tpu.core.surface import SurfaceDescription
+    from i3rc_tpu.integrators.integrator import Integrator
+    from i3rc_tpu.models.step_cloud import make_step_cloud
+
+    n = 1 << 13
+    lanes = 1 << 12
+    det = dict(intensity_mus=[1.0, 0.5], intensity_phis=[0.0, 60.0])
+    surf = SurfaceDescription.uniform(np.float32([6.0, 1.34]),
+                                      brdf_name="cox_munk")
+    src = PhotonSource.directional(0.5, 0.0)
+    xla = Integrator.create(make_step_cloud(1.0), config=FAST_CFG,
+                            surface=surf, **det)
+    pal = Integrator.create(make_step_cloud(1.0), config=IntegratorConfig(
+        use_ray_tracing=False, max_events=500,
+        compute_volume_absorption=False, majorant_block_size=16,
+        use_pallas_fastpath=True), surface=surf, **det)
+    assert _plan(pal) is not None and _plan(pal).brdf_fn is not None
+    rx = xla.batch_fn(src, n, n_lanes=lanes)(jax.random.PRNGKey(51))
+    rp = pal.batch_fn(src, n, n_lanes=lanes)(jax.random.PRNGKey(52))
+    sigma = float(np.sqrt(2 * 0.25 / n))
+    assert float(rp.mean_flux_up) == pytest.approx(float(rx.mean_flux_up),
+                                                   abs=5 * sigma)
+    assert float(rp.mean_flux_down) == pytest.approx(
+        float(rx.mean_flux_down), abs=5 * sigma)
+    np.testing.assert_allclose(np.asarray(rp.mean_intensity),
+                               np.asarray(rx.mean_intensity), rtol=0.15)
+
+
+def test_iwabuchi_on_fastpath():
+    """zeta_min > 0 radiance runs ELECT the fastpath (round-4): the
+    roulette is an elementwise rule on the exact closed-form tau, matching
+    the general kernel's estimator in expectation.  Gates: eligibility,
+    unbiasedness vs the exact-estimator fastpath, and the general-kernel
+    cross-check."""
+    from i3rc_tpu.integrators.integrator import Integrator
+    from i3rc_tpu.models.step_cloud import make_step_cloud
+
+    det = dict(intensity_mus=[1.0, 0.5], intensity_phis=[0.0, 0.0])
+    iw_cfg = IntegratorConfig(use_ray_tracing=False, max_events=500,
+                              compute_volume_absorption=False,
+                              majorant_block_size=16,
+                              use_russian_roulette_for_intensity=True,
+                              zeta_min=0.3)
+    f_iw = Integrator.create(make_step_cloud(1.0), config=iw_cfg, **det)
+    assert _plan(f_iw) is not None          # elects the fastpath
+    f_ex = Integrator.create(make_step_cloud(1.0), config=FAST_CFG, **det)
+    g_iw = Integrator.create(make_step_cloud(1.0), config=IntegratorConfig(
+        use_ray_tracing=False, max_events=500,
+        compute_volume_absorption=False, majorant_block_size=16,
+        use_fastpath=False, use_russian_roulette_for_intensity=True,
+        zeta_min=0.3), **det)
+    n = 1 << 15
+    src = PhotonSource.directional(0.5, 0.0)
+    r_iw = f_iw.batch_fn(src, n)(jax.random.PRNGKey(61))
+    r_ex = f_ex.batch_fn(src, n)(jax.random.PRNGKey(62))
+    r_g = g_iw.batch_fn(src, n)(jax.random.PRNGKey(63))
+    np.testing.assert_allclose(np.asarray(r_iw.mean_intensity),
+                               np.asarray(r_ex.mean_intensity), rtol=0.05)
+    np.testing.assert_allclose(np.asarray(r_iw.mean_intensity),
+                               np.asarray(r_g.mean_intensity), rtol=0.05)
+
+
+def test_ratio_tracking_upgrades_to_exact_on_fastpath():
+    """use_ratio_tracking_for_intensity runs ELECT the fastpath, where the
+    transmittance is already closed-form: the request upgrades to the
+    exact trace (identical expectation, strictly lower variance).  The
+    plan and the traced results are bit-identical to the default
+    estimator's (same kernel, same RNG stream)."""
+    from i3rc_tpu.integrators.integrator import Integrator
+    from i3rc_tpu.models.step_cloud import make_step_cloud
+
+    det = dict(intensity_mus=[0.5], intensity_phis=[0.0])
+    rt_cfg = IntegratorConfig(use_ray_tracing=False, max_events=500,
+                              compute_volume_absorption=False,
+                              majorant_block_size=16,
+                              use_ratio_tracking_for_intensity=True)
+    f_rt = Integrator.create(make_step_cloud(1.0), config=rt_cfg, **det)
+    assert _plan(f_rt) is not None
+    f_ex = Integrator.create(make_step_cloud(1.0), config=FAST_CFG, **det)
+    n = 1 << 13
+    src = PhotonSource.directional(0.5, 0.0)
+    r_rt = f_rt.batch_fn(src, n)(jax.random.PRNGKey(71))
+    r_ex = f_ex.batch_fn(src, n)(jax.random.PRNGKey(71))
+    np.testing.assert_array_equal(np.asarray(r_rt.intensity),
+                                  np.asarray(r_ex.intensity))
