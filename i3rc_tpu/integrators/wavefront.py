@@ -265,8 +265,9 @@ def make_chained_flux_tracer(geom: GridGeometry, optics: DeviceOptics,
                              tables: DeviceTables, config, n_photons: int,
                              n_lanes: int | None,
                              coarse_geom: GridGeometry,
-                             chain: int, dda_steps: int):
-    """Large-domain flux kernel: C Woodcock cycles per event-loop iteration.
+                             chain: int, dda_steps: int,
+                             intensity: "IntensitySpec | None" = None):
+    """Large-domain kernel: C Woodcock cycles per event-loop iteration.
 
     The general event loop pays three per-iteration fixed costs that dwarf
     the physics once the per-cell read is a single serialized gather
@@ -274,20 +275,38 @@ def make_chained_flux_tracer(geom: GridGeometry, optics: DeviceOptics,
     column tally chain (~0.8 ms), the coarse-DDA while_loop that runs every
     lane to the WORST lane's crossing count (19.4 avg lockstep iterations
     where the mean flight needs ~4, ~0.64 ms), and the RNG/refill/loop
-    plumbing.  This tracer restructures the iteration for the workload
-    class where transport neither deposits nor revives weight (flux-only,
-    black surface, conservative uniform single-component optics):
+    plumbing.  This tracer restructures the iteration for the weight-1
+    workload class (black surface, uniform single-component optics —
+    absorption, if any, by Bernoulli survival exactly like the fastpath's
+    estimator, FastPlan.ssa):
 
       * ``chain`` tentative collisions resolve per iteration — each cycle
         advances the coarse DDA a FIXED ``dda_steps`` crossings (unrolled,
         no while_loop; unfinished flights carry their remaining optical
         depth to the next cycle, exact because the remaining target is
         deterministic), then one gather + Woodcock accept + rotation.
-      * Weight is identically 1 (no absorption, no surface, no roulette),
-        so exits are pure counts: a lane records (column, kind) in
-        registers — it can exit at most once per iteration since refill
+      * Weight is identically 1 (Bernoulli absorption, black surface, no
+        roulette), so exits are pure counts: a lane records (column, kind)
+        in registers — it can exit at most once per iteration since refill
         happens only at iteration start — and ONE column tally matmul per
         iteration commits up to C cycles' worth of exits.
+
+    Radiance detectors (round 4 — the serial-gather radiance path): each
+    lane owns D RATIO-TRACKING shadow-ray slots that ride the same C-cycle
+    structure.  A physical collision arms its per-detector prefactors
+    ssa * P(cos Theta)/(4 pi |mu_d|) — the estimator of
+    computeIntensityContribution (monteCarloRadiativeTransfer.f95:
+    1419-1510) under the weight-1/Bernoulli scheme — and the lane FREEZES
+    until its slots are free (at most one estimate event per lane per
+    iteration).  Rays sample tentative collisions against the super-voxel
+    majorants with the same fixed-step resumable coarse DDA as photons,
+    multiply the running transmittance by (1 - ext/majorant) per tentative
+    (unbiased: E[T] = exp(-tau), the ratio-tracking estimator the inline
+    general kernel uses), roulette at zeta_min, and pend their escape
+    contribution pf * T in registers — ONE intensity scatter-add per
+    iteration commits them.  This removes both per-collision nested
+    while_loops (the trace AND the round loop) that cap the inline
+    estimator at ~1.75e4 photons/s on Landsat-class scenes.
 
     Physics matched: the maximum-cross-section loop of
     monteCarloRadiativeTransfer.f95:400-707 with per-block majorants;
@@ -296,16 +315,34 @@ def make_chained_flux_tracer(geom: GridGeometry, optics: DeviceOptics,
     """
     n_x, n_y, n_z = geom.n_x, geom.n_y, geom.n_z
     L = int(n_lanes or min(n_photons, 1 << 20))
-    max_iters = config.max_events * (n_photons // L + 2)
+    D = intensity.n_directions if intensity is not None else 0
+    max_iters = config.max_events * (n_photons // L + 2) * (2 if D else 1)
     inv_cap = jnp.float32(1e-30)
+    if D:
+        LD = L * D
+        _dirs = intensity.directions
+        dxs_t = jnp.broadcast_to(_dirs[0][None, :], (L, D)).reshape(LD)
+        dys_t = jnp.broadcast_to(_dirs[1][None, :], (L, D)).reshape(LD)
+        dzs_t = jnp.broadcast_to(_dirs[2][None, :], (L, D)).reshape(LD)
+        exit_status_t = jnp.broadcast_to(intensity.exit_status[None, :],
+                                         (L, D)).reshape(LD)
+        d_idx_t = jnp.broadcast_to(jnp.arange(D, dtype=jnp.int32)[None, :],
+                                   (L, D)).reshape(LD)
+        zeta = jnp.float32(max(config.zeta_min, 1e-3))
+        max_ray_rounds = 4 * int(config.max_intensity_crossings
+                                 or max(1024, 8 * (n_x + n_y + n_z)))
 
     def trace(key, batch, source=None, optics_override=None):
         opt = optics if optics_override is None else optics_override
-        assert (opt.n_components == 1 and opt.uniform_ssa == 1.0
+        assert (opt.n_components == 1 and opt.uniform_ssa is not None
                 and opt.uniform_phase_index is not None), (
-            "chained flux tracer requires conservative uniform optics")
+            "chained tracer requires uniform single-component optics")
+        ssa_u = jnp.float32(opt.uniform_ssa)
+        absorbing = float(opt.uniform_ssa) < 1.0
         s_seg = tables.n_segments
         pf_row0 = opt.uniform_phase_index * s_seg
+        if D:
+            fwd_row0 = opt.uniform_phase_index * tables.n_forward_steps
 
         x = geom.x0 + batch.x * (geom.x_max - geom.x0)
         y = geom.y0 + batch.y * (geom.y_max - geom.y0)
@@ -319,22 +356,58 @@ def make_chained_flux_tracer(geom: GridGeometry, optics: DeviceOptics,
         tau_rem = jnp.zeros(L, jnp.float32)
         zeros_i = jnp.zeros(L, jnp.int32)
         tallies = {
-            "columns": jnp.zeros((n_x * n_y, 2), jnp.float32),
+            "columns": jnp.zeros((n_x * n_y, 3 if absorbing else 2),
+                                 jnp.float32),
             "n_bad": jnp.zeros((), jnp.int32),
             "n_lane_events": jnp.zeros((), jnp.float32),
         }
+        if D:
+            tallies["intensity"] = jnp.zeros(n_x * n_y * D, jnp.float32)
+            tallies["intensity_by_component"] = jnp.zeros(n_x * n_y * D * 2,
+                                                          jnp.float32)
+        np_draws = 5 if absorbing else 4
 
         def body(carry):
-            k, (alive, launched, x, y, z, ux, uy, uz, order, in_flight,
-                tau_rem, bix, biy, biz, tallies) = carry
+            k, st_all = carry
+            (alive, launched, x, y, z, ux, uy, uz, order, in_flight,
+             tau_rem, bix, biy, biz, tallies) = st_all[:15]
+            if D:
+                (pend, pend_pf, r_alive, r_inflight, r_tau_rem, rT, rpf,
+                 rpx, rpy, rpz, rbix, rbiy, rbiz, r_rounds) = st_all[15:]
             opt_ = opt
             ek = jax.random.fold_in(key, k)
-            ks = jax.random.split(ek, 2)
-            u = jax.random.uniform(ks[0], (chain, 4, L), dtype=jnp.float32)
+            ks = jax.random.split(ek, 3)
+            u = jax.random.uniform(ks[0], (chain, np_draws, L),
+                                   dtype=jnp.float32)
+            if D:
+                u_r = jax.random.uniform(ks[2], (chain, 2, LD),
+                                         dtype=jnp.float32)
+
+            n_bad = tallies["n_bad"]
+            n_ev = tallies["n_lane_events"]
+
+            if D:
+                # --- arm pending estimates into free ray slots ------------
+                # (a slot set is free when no slot of the lane is alive;
+                # escape/kill both clear r_alive, so one check suffices).
+                rays_free = ~jnp.any(r_alive.reshape(L, D), axis=1)
+                release = pend & rays_free
+                arm = jnp.broadcast_to(release[:, None], (L, D)).reshape(LD)
+                tile = lambda a: jnp.broadcast_to(a[:, None],
+                                                  (L, D)).reshape(LD)
+                rpx = jnp.where(arm, tile(x), rpx)
+                rpy = jnp.where(arm, tile(y), rpy)
+                rpz = jnp.where(arm, tile(z), rpz)
+                rT = jnp.where(arm, 1.0, rT)
+                rpf = jnp.where(arm, pend_pf.reshape(LD), rpf)
+                r_inflight = r_inflight & ~arm
+                r_rounds = jnp.where(arm, 0, r_rounds)
+                r_alive = r_alive | arm
+                pend = pend & ~release
 
             # --- refill dead lanes (iteration start only) -------------------
             if n_photons > L:
-                dead = ~alive
+                dead = ~alive if not D else (~alive & ~pend)
                 dead_i = dead.astype(jnp.int32)
                 new_id = launched + jnp.cumsum(dead_i) - dead_i
                 refill = dead & (new_id < n_photons)
@@ -352,14 +425,20 @@ def make_chained_flux_tracer(geom: GridGeometry, optics: DeviceOptics,
                 alive = alive | refill
 
             exit_col = zeros_i
-            exit_kind = zeros_i      # 0 none, 1 top, 2 bottom
-            n_bad = tallies["n_bad"]
-            n_ev = tallies["n_lane_events"]
+            exit_kind = zeros_i      # 0 none, 1 top, 2 bottom, 3 absorbed
+            if D:
+                r_esc = jnp.zeros(LD, bool)
+                r_esc_col = jnp.zeros(LD, jnp.int32)
+                r_contrib = jnp.zeros(LD, jnp.float32)
+                rstep = make_crossing_stepper(
+                    coarse_geom, opt_.block_majorant, dxs_t, dys_t, dzs_t,
+                    cell_matrix=opt_.block_majorant[:, None])
 
             for c in range(chain):
                 u_tau, u_accept, u_scat, u_chi = (u[c, 0], u[c, 1], u[c, 2],
                                                   u[c, 3])
-                start_new = alive & ~in_flight
+                transportable = alive & ~pend if D else alive
+                start_new = transportable & ~in_flight
                 tau_t = jnp.where(start_new, exponential_deviate(u_tau), tau_rem)
                 bix = jnp.where(start_new, coarse_geom.locate_x(x), bix)
                 biy = jnp.where(start_new, coarse_geom.locate_y(y), biy)
@@ -370,14 +449,14 @@ def make_chained_flux_tracer(geom: GridGeometry, optics: DeviceOptics,
                 st = (x, y, z, bix, biy, biz, jnp.zeros(L, jnp.float32),
                       jnp.full(L, TRACING, jnp.int32))
                 for _ in range(dda_steps):
-                    st = step(st, tau_t, alive)
+                    st = step(st, tau_t, transportable)
                 x, y, z, bix, biy, biz, tau_acc, status = st
 
-                still = alive & (status == TRACING)
-                tentative = alive & (status == SCATTER)
-                ex_top = alive & (status == EXIT_TOP)
-                ex_bot = alive & (status == EXIT_BOT)
-                badlane = alive & (status == BAD)
+                still = transportable & (status == TRACING)
+                tentative = transportable & (status == SCATTER)
+                ex_top = transportable & (status == EXIT_TOP)
+                ex_bot = transportable & (status == EXIT_BOT)
+                badlane = transportable & (status == BAD)
                 in_flight = still
                 tau_rem = jnp.where(still, tau_t - tau_acc, 0.0)
 
@@ -393,6 +472,28 @@ def make_chained_flux_tracer(geom: GridGeometry, optics: DeviceOptics,
                 block_flat = (bix * coarse_geom.n_y + biy) * coarse_geom.n_z + biz
                 maj = read_rows(opt_.block_majorant[:, None], block_flat)[:, 0]
                 physical = tentative & (u_accept < cell_ext / jnp.maximum(maj, inv_cap))
+                absorbed = (physical & (u[c, 4] >= ssa_u)) if absorbing \
+                    else jnp.zeros_like(physical)
+                scatter = physical & ~absorbed
+
+                if D:
+                    # Per-detector estimate prefactors from the INCOMING
+                    # direction (pre-rotation), ssa-weighted (the reference
+                    # estimates with the post-absorption weight, :642-655);
+                    # the lane freezes until its slots arm next iteration.
+                    proj = jnp.clip(
+                        ux[:, None] * _dirs[0][None, :]
+                        + uy[:, None] * _dirs[1][None, :]
+                        + uz[:, None] * _dirs[2][None, :], -1.0, 1.0)
+                    pos_f = jnp.arccos(proj) / PI
+                    pf_val = _table_lookup(tables.forward,
+                                           jnp.full((L, 1), fwd_row0,
+                                                    jnp.int32),
+                                           pos_f, tables.n_forward_steps)
+                    pf_new = (pf_val * ssa_u
+                              / (4.0 * PI * intensity.abs_mu[None, :]))
+                    pend_pf = jnp.where(physical[:, None], pf_new, pend_pf)
+                    pend = pend | physical
 
                 # --- scattering: inverse-CDF cubic sample + rotation --------
                 pos = jnp.clip(u_scat, 0.0, 1.0) * s_seg
@@ -402,50 +503,144 @@ def make_chained_flux_tracer(geom: GridGeometry, optics: DeviceOptics,
                 mu_s = jnp.clip(((cc[:, 3] * t + cc[:, 2]) * t + cc[:, 1]) * t
                                 + cc[:, 0], -1.0, 1.0)
                 nux, nuy, nuz = rotate_direction(ux, uy, uz, mu_s, u_chi)
-                ux = jnp.where(physical, nux, ux)
-                uy = jnp.where(physical, nuy, uy)
-                uz = jnp.where(physical, nuz, uz)
+                ux = jnp.where(scatter, nux, ux)
+                uy = jnp.where(scatter, nuy, uy)
+                uz = jnp.where(scatter, nuz, uz)
                 order_next = order + physical.astype(jnp.int32)
-                over = physical & (order_next >= config.max_events)
+                over = scatter & (order_next >= config.max_events)
                 order = order_next
 
                 # --- exits: pend in registers (<= one per lane/iteration) ---
                 col = fix * n_y + fiy
-                hit = ex_top | ex_bot
+                hit = ex_top | ex_bot | absorbed
                 exit_col = jnp.where(hit, col, exit_col)
-                exit_kind = jnp.where(ex_top, 1, jnp.where(ex_bot, 2, exit_kind))
+                exit_kind = jnp.where(
+                    ex_top, 1, jnp.where(ex_bot, 2,
+                                         jnp.where(absorbed, 3, exit_kind)))
                 badlane = badlane | over
                 n_bad = n_bad + jnp.sum(badlane).astype(jnp.int32)
-                n_ev = n_ev + jnp.sum((tentative | hit).astype(jnp.float32))
+                n_ev = n_ev + jnp.sum((tentative | ex_top | ex_bot)
+                                      .astype(jnp.float32))
                 alive = alive & ~(hit | badlane)
 
-            vals = jnp.stack([(exit_kind == 1).astype(jnp.float32),
-                              (exit_kind == 2).astype(jnp.float32)], axis=1)
+                if D:
+                    # --- ratio-tracking ray cycle (same fixed-step shape) --
+                    r_act = r_alive
+                    r_start = r_act & ~r_inflight
+                    r_taut = jnp.where(r_start,
+                                       exponential_deviate(u_r[c, 0]),
+                                       r_tau_rem)
+                    rbix = jnp.where(r_start, coarse_geom.locate_x(rpx), rbix)
+                    rbiy = jnp.where(r_start, coarse_geom.locate_y(rpy), rbiy)
+                    rbiz = jnp.where(r_start, coarse_geom.locate_z(rpz), rbiz)
+                    rst = (rpx, rpy, rpz, rbix, rbiy, rbiz,
+                           jnp.zeros(LD, jnp.float32),
+                           jnp.full(LD, TRACING, jnp.int32))
+                    for _ in range(dda_steps):
+                        rst = rstep(rst, r_taut, r_act)
+                    (rpx, rpy, rpz, rbix, rbiy, rbiz, r_tacc, r_status) = rst
+                    r_still = r_act & (r_status == TRACING)
+                    r_tent = r_act & (r_status == SCATTER)
+                    r_exit = r_act & ((r_status == EXIT_TOP)
+                                      | (r_status == EXIT_BOT))
+                    r_good = r_exit & (r_status == exit_status_t)
+                    r_inflight = r_still
+                    r_tau_rem = jnp.where(r_still, r_taut - r_tacc, 0.0)
+                    # Tentative: multiply by the null-collision ratio.
+                    rfc = ((geom.locate_x(rpx) * n_y + geom.locate_y(rpy))
+                           * n_z + geom.locate_z(rpz))
+                    if optics.use_onehot:
+                        r_ext = read_rows(opt_.cell_matrix[:, :1], rfc)[:, 0]
+                    else:
+                        r_ext = opt_.total_ext[rfc]
+                    r_bf = ((rbix * coarse_geom.n_y + rbiy) * coarse_geom.n_z
+                            + rbiz)
+                    r_maj = read_rows(opt_.block_majorant[:, None],
+                                      r_bf)[:, 0]
+                    ratio = jnp.clip(1.0 - r_ext / jnp.maximum(r_maj,
+                                                               inv_cap),
+                                     0.0, 1.0)
+                    rT = jnp.where(r_tent, rT * ratio, rT)
+                    rr = r_tent & (rT < zeta)
+                    killed = rr & (u_r[c, 1] >= rT / zeta)
+                    rT = jnp.where(rr, jnp.where(killed, 0.0, zeta), rT)
+                    # Escapes pend their contribution (slots arm only at
+                    # iteration start, so at most one escape per slot).
+                    r_esc_col = jnp.where(
+                        r_good,
+                        geom.locate_x(rpx) * n_y + geom.locate_y(rpy),
+                        r_esc_col)
+                    r_contrib = jnp.where(r_good, rpf * rT, r_contrib)
+                    r_esc = r_esc | r_good
+                    r_rounds = r_rounds + r_act.astype(jnp.int32)
+                    r_over = r_act & (r_rounds > max_ray_rounds)
+                    n_bad = n_bad + jnp.sum(
+                        ((r_act & (r_status == BAD)) | r_over)
+                        .astype(jnp.int32))
+                    r_alive = (r_tent & (rT > 0.0) & ~r_over) | r_still
+
+            vals = [(exit_kind == 1).astype(jnp.float32),
+                    (exit_kind == 2).astype(jnp.float32)]
+            if absorbing:
+                vals.append((exit_kind == 3).astype(jnp.float32))
             tallies = dict(tallies)
-            tallies["columns"] = tally_multi(tallies["columns"], exit_col, vals)
+            tallies["columns"] = tally_multi(tallies["columns"], exit_col,
+                                             jnp.stack(vals, axis=1))
+            if D:
+                int_idx = r_esc_col * D + d_idx_t
+                tallies["intensity"] = tally_add(
+                    tallies["intensity"], int_idx, r_contrib, r_esc)
+                # Black surface: every contribution is the single cloud
+                # component (slot 1; slot 0 = surface stays zero).
+                tallies["intensity_by_component"] = tally_add(
+                    tallies["intensity_by_component"], int_idx * 2 + 1,
+                    r_contrib, r_esc)
             tallies["n_bad"] = n_bad
             tallies["n_lane_events"] = n_ev
-            return k + 1, (alive, launched, x, y, z, ux, uy, uz, order,
-                           in_flight, tau_rem, bix, biy, biz, tallies)
+            out = (alive, launched, x, y, z, ux, uy, uz, order,
+                   in_flight, tau_rem, bix, biy, biz, tallies)
+            if D:
+                out = out + (pend, pend_pf, r_alive, r_inflight, r_tau_rem,
+                             rT, rpf, rpx, rpy, rpz, rbix, rbiy, rbiz,
+                             r_rounds)
+            return k + 1, out
 
         def cond(carry):
             k, state = carry
-            return (jnp.any(state[0]) | (state[1] < n_photons)) & (k < max_iters)
+            busy = jnp.any(state[0]) | (state[1] < n_photons)
+            if D:
+                busy = busy | jnp.any(state[15]) | jnp.any(state[17])
+            return busy & (k < max_iters)
 
         state0 = (alive, launched, x, y, z, ux, uy, uz, order, in_flight,
                   tau_rem, zeros_i, zeros_i, zeros_i, tallies)
+        if D:
+            zeros_ld_f = jnp.zeros(LD, jnp.float32)
+            zeros_ld_i = jnp.zeros(LD, jnp.int32)
+            state0 = state0 + (
+                jnp.zeros(L, bool), jnp.zeros((L, D), jnp.float32),
+                jnp.zeros(LD, bool), jnp.zeros(LD, bool), zeros_ld_f,
+                zeros_ld_f, zeros_ld_f, zeros_ld_f, zeros_ld_f, zeros_ld_f,
+                zeros_ld_i, zeros_ld_i, zeros_ld_i, zeros_ld_i)
         k_final, state = jax.lax.while_loop(cond, body, (jnp.int32(0), state0))
-        tallies = state[-1]
+        tallies = state[14]
+        # Lanes/records still live at the cap vanish: count bad.
         n_bad = tallies["n_bad"] + jnp.sum(state[0]).astype(jnp.int32)
+        if D:
+            n_bad = n_bad + jnp.sum((state[15] & ~state[0])
+                                    .astype(jnp.int32)) \
+                + jnp.sum(state[17].astype(jnp.int32))
         zero_cols = jnp.zeros(n_x * n_y, jnp.float32)
+        cols = tallies["columns"]
         return RawTallies(
-            flux_up=tallies["columns"][:, 0],
-            flux_down=tallies["columns"][:, 1],
-            flux_absorbed=zero_cols,
+            flux_up=cols[:, 0],
+            flux_down=cols[:, 1],
+            flux_absorbed=cols[:, 2] if cols.shape[1] > 2 else zero_cols,
             volume_absorption=jnp.zeros(n_x * n_y * n_z, jnp.float32),
-            intensity=jnp.zeros(0, jnp.float32),
-            intensity_by_component=jnp.zeros(0, jnp.float32),
-            intensity_excess=jnp.zeros(0, jnp.float32),
+            intensity=tallies.get("intensity", jnp.zeros(0, jnp.float32)),
+            intensity_by_component=tallies.get(
+                "intensity_by_component", jnp.zeros(0, jnp.float32)),
+            intensity_excess=jnp.zeros(D * 2 if D else 0, jnp.float32),
             n_photons=jnp.int32(n_photons), n_bad=n_bad,
             n_iterations=k_final,
             n_lane_events=tallies["n_lane_events"])
@@ -484,18 +679,28 @@ def make_batch_tracer(geom: GridGeometry, optics: DeviceOptics, tables: DeviceTa
     if coarse_geom is not None:
         max_block_crossings = max(64, 4 * (coarse_geom.n_x + coarse_geom.n_y
                                            + coarse_geom.n_z))
-    # Chained-cycle flux specialization (see make_chained_flux_tracer):
-    # auto-on for serial-gather domains, where the per-iteration fixed costs
-    # it amortizes dominate; an explicit general_chain wins either way.
+    # Chained-cycle specialization (see make_chained_flux_tracer): auto-on
+    # for serial-gather domains, where the per-iteration fixed costs it
+    # amortizes dominate; an explicit general_chain wins either way.
+    # Eligibility = the weight-1 class: black surface, uniform single-
+    # component optics (absorption by Bernoulli survival), no volume
+    # absorption; radiance detectors require the ratio-tracking estimator
+    # (which Integrator.create auto-enables on serial-gather domains) —
+    # deterministic/Iwabuchi traces keep the inline general kernel.
     chain = int(config.general_chain) or (6 if not optics.use_onehot else 1)
-    if (chain > 1 and not use_rt and use_woodcock and not compute_intensity
+    if (chain > 1 and not use_rt and use_woodcock
             and black_surface and optics.n_components == 1
-            and optics.uniform_ssa == 1.0
+            and optics.uniform_ssa is not None
             and optics.uniform_phase_index is not None
-            and not config.compute_volume_absorption):
+            and not config.compute_volume_absorption
+            and (not compute_intensity
+                 or (config.use_ratio_tracking_for_intensity
+                     and not config.use_hybrid_phase_funs
+                     and not config.limit_intensity_contributions))):
         return make_chained_flux_tracer(
             geom, optics, tables, config, n_photons, n_lanes, coarse_geom,
-            chain, int(config.general_dda_steps) or 8)
+            chain, int(config.general_dda_steps) or 8,
+            intensity=intensity if compute_intensity else None)
     L = int(n_lanes or min(n_photons, 1 << 20))
     n_cells = optics.n_cells
     # Column-keyed tallies ride the one-hot transpose-matmul whenever the

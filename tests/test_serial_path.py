@@ -146,3 +146,74 @@ def test_big_domain_auto_enables_block_majorants():
     assert integ.config.majorant_block_size == 8
     assert integ.coarse_geometry is not None
     assert integ.optics.block_majorant.size > 0
+
+
+def test_chained_radiance_tracer_matches_inline():
+    """The chained ratio-tracking radiance path (round 4): lane-owned
+    shadow-ray slots riding the C-cycle loop vs the plain general kernel's
+    estimators.  Same expectations (ratio tracking is unbiased for
+    E[T] = exp(-tau)); cross-check intensities against BOTH the inline
+    ratio-tracking kernel and the deterministic-trace kernel, plus flux
+    agreement and the Bernoulli-absorption budget."""
+    import i3rc_tpu.integrators.wavefront as wf
+
+    rng = np.random.default_rng(7)
+    table = PhaseFunctionTable.from_phase_functions(
+        [PhaseFunction.from_legendre(henyey_greenstein_coefficients(0.85, 32))],
+        key=[1.0])
+    ext = rng.uniform(0.0, 0.03, (8, 8, 8))
+    ext[ext < 0.01] = 0.0
+    dom = Domain.create(np.linspace(0, 800.0, 9), np.linspace(0, 800.0, 9),
+                        np.linspace(0, 400.0, 9))
+    dom = dom.add_component("c", ext, np.full_like(ext, 0.9),
+                            np.zeros(ext.shape, np.int32), table)
+    det = dict(intensity_mus=[1.0, 0.5], intensity_phis=[0.0, 0.0])
+    n = 40_000
+    src = PhotonSource.directional(0.5, 0.0)
+
+    chained = Integrator.create(dom, config=IntegratorConfig(
+        use_ray_tracing=False, max_events=200,
+        compute_volume_absorption=False, majorant_block_size=4,
+        use_fastpath=False, general_chain=2, general_dda_steps=2,
+        use_ratio_tracking_for_intensity=True), **det)
+    # Dispatch check: the chained tracer elects itself for this shape.
+    called = {}
+    orig = wf.make_chained_flux_tracer
+
+    def spy(*a, **k):
+        called["intensity"] = k.get("intensity")
+        return orig(*a, **k)
+
+    wf.make_chained_flux_tracer = spy
+    try:
+        r_ch = chained.compute(jax.random.PRNGKey(9), src, n)
+    finally:
+        wf.make_chained_flux_tracer = orig
+    assert called and called["intensity"] is not None
+
+    r_rt = Integrator.create(dom, config=IntegratorConfig(
+        use_ray_tracing=False, max_events=200,
+        compute_volume_absorption=False, majorant_block_size=4,
+        use_fastpath=False, general_chain=1,
+        use_ratio_tracking_for_intensity=True), **det).compute(
+            jax.random.PRNGKey(10), src, n)
+    r_det = Integrator.create(dom, config=IntegratorConfig(
+        use_ray_tracing=False, max_events=200,
+        compute_volume_absorption=False, majorant_block_size=4,
+        use_fastpath=False, general_chain=1), **det).compute(
+            jax.random.PRNGKey(11), src, n)
+
+    sigma = np.sqrt(2 * 0.25 / n)
+    for field in ("mean_flux_up", "mean_flux_down", "mean_flux_absorbed"):
+        d = abs(float(getattr(r_ch, field)) - float(getattr(r_det, field)))
+        assert d < 4 * sigma, f"{field} off by {d / sigma:.1f} sigma"
+    i_ch = np.asarray(r_ch.mean_intensity)
+    i_rt = np.asarray(r_rt.mean_intensity)
+    i_det = np.asarray(r_det.mean_intensity)
+    np.testing.assert_allclose(i_ch, i_rt, rtol=0.08)
+    np.testing.assert_allclose(i_ch, i_det, rtol=0.08)
+    # By-component: black surface -> slot 0 empty, slot 1 == the total.
+    byc = np.asarray(r_ch.intensity_by_component)
+    assert byc.reshape(-1, 2)[:, 0].sum() == 0.0
+    np.testing.assert_allclose(byc.reshape(-1, 2)[:, 1].sum(),
+                               np.asarray(r_ch.intensity).sum(), rtol=1e-6)
