@@ -8,15 +8,23 @@ x-slab of the per-cell optics, photons are traced locally, and a photon
 crossing a slab boundary migrates to the neighbor device through
 jax.lax.ppermute — on real hardware that collective rides the ICI links.
 
-Representation (round 3 — generalized from the round-2 column prototype):
-the GENERAL single-component voxel slab — arbitrary 3-D per-cell extinction
-and single-scattering albedo, HG phase function, black or reflecting
-Lambertian surface.  Transport is maximum cross-section (the reference's
-:492-497 alternative): free flights are memoryless in DISTANCE under the
-global majorant, so a flight that would leave the slab simply stops at the
-boundary and migrates carrying its remaining optical depth — no ray data
-beyond the local slab is ever needed.  Collisions resolve against one
-factored one-hot read of the local (nx_loc*ny*nz, 2) [ext, ssa] matrix;
+Representation (round 4 — generalized from the round-3 single-component
+tracer): the GENERAL MULTI-COMPONENT voxel slab — per cell, total
+extinction plus per-component cumulative extinction fractions,
+single-scattering albedos, and phase-table rows (the
+getOpticalPropertiesByComponent flattening, opticalProperties.f95:429-539)
+— with ARBITRARY phase functions: scattering samples the same
+piecewise-cubic mu(p) inverse-CDF fit as the replicated kernels
+(tables.build_inverse_cubic), so Mie cloud + aerosol + Rayleigh scenes
+shard.  The (small) cubic tables are replicated per shard; only the
+per-cell matrix is decomposed.  Black or reflecting Lambertian surface.
+Transport is maximum cross-section (the reference's :492-497 alternative):
+free flights are memoryless in DISTANCE under the global majorant, so a
+flight that would leave the slab simply stops at the boundary and migrates
+carrying its remaining optical depth — no ray data beyond the local slab
+is ever needed.  Collisions pick their component by cumulative-extinction
+inversion (the findIndex pick, monteCarloRadiativeTransfer.f95:637-638)
+from one factored one-hot read of the local (nx_loc*ny*nz, 1+3C) matrix;
 absorption is Bernoulli survival (the fastpath's estimator); bottom hits
 Bernoulli-revive with a Lambertian draw when the surface reflects.
 
@@ -28,12 +36,13 @@ prototype counted inbox overflow in n_bad instead).
 
 Radiance detectors (round 3, late): local estimation with MIGRATING shadow
 rays.  At every physical collision the photon freezes (``pend``) with its
-per-detector prefactors w*ssa*P_HG(cos Theta)/(4 pi |mu_d|) — the exact
+per-detector prefactors w*ssa_c*P_c(cos Theta)/(4 pi |mu_d|) — the exact
 estimator of computeIntensityContribution
 (monteCarloRadiativeTransfer.f95:1419-1510) under this tracer's
-weight-1/Bernoulli scheme — until the shard's shadow-ray pool has D free
-slots; reflecting-surface hits emit A/pi toward upward detectors the same
-way (:1473-1480).  Shadow rays accumulate the EXACT line integral of
+weight-1/Bernoulli scheme, with the picked component's phase VALUE read
+from the replicated log-cubic forward fit (tables.build_forward_cubic) —
+until the shard's shadow-ray pool has D free slots; reflecting-surface
+hits emit A/pi toward upward detectors the same way (:1473-1480).  Shadow rays accumulate the EXACT line integral of
 extinction cell by cell (the :1512-1535 trace), and a ray reaching its
 slab's x face migrates to the neighbor shard carrying its accumulated tau
 — the same receiver-granted ppermute scheme as photons — so transmittance
@@ -61,7 +70,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from i3rc_tpu.core.optics import flatten_optics
 from i3rc_tpu.core.rng import exponential_deviate
-from i3rc_tpu.integrators.fastpath import detect_hg, hg_cosine, hg_phase
+from i3rc_tpu.integrators.tables import build_forward_cubic, build_inverse_cubic
 from i3rc_tpu.integrators.wavefront import (
     RawTallies,
     _sincos_2pi,
@@ -76,15 +85,14 @@ from i3rc_tpu.ops.tally import tally_add, tally_multi
 def shardable(domain, mesh: Mesh) -> bool:
     """Is this domain expressible by the sharded general-slab tracer?
 
-    Single-component HG optics on a regular grid whose x extent divides the
-    mesh; any 3-D extinction/ssa field, any Lambertian surface albedo.
+    Multi-component optics with arbitrary (tabulated or Legendre) phase
+    functions on a regular grid whose x extent divides the mesh; any 3-D
+    extinction/ssa fields, any Lambertian surface albedo.  (Scattering
+    samples the replicated piecewise-cubic inverse-CDF fits, so no phase-
+    function class restricts sharding.)
     """
     n_dev = int(np.prod(mesh.devices.shape))
     flat = flatten_optics(domain)
-    if flat.n_components != 1:
-        return False
-    if detect_hg(flat.forward_tables[0]) is None:
-        return False
     if not (domain.xy_regularly_spaced and domain.z_regularly_spaced):
         return False
     return flat.total_ext.shape[0] % n_dev == 0
@@ -119,17 +127,30 @@ def trace_sharded(domain, source, n_photons: int, mesh: Mesh,
                                    domain.z_edges,
                                    domain.xy_regularly_spaced,
                                    domain.z_regularly_spaced)
-    g = detect_hg(flat.forward_tables[0])
-    assert g is not None, "domain not shardable (non-HG phase function)"
     n_x, n_y, n_z = geom.n_x, geom.n_y, geom.n_z
     assert n_x % n_dev == 0, "n_x must divide the mesh"
     nx_loc = n_x // n_dev
-    # Per-cell [ext, ssa], x-major so the leading axis shards cleanly.
+    C = flat.n_components
+    n_cells = n_x * n_y * n_z
+    # Per-cell [total_ext | cum_1..C | ssa_1..C | pf_row_1..C], x-major so
+    # the leading axis shards cleanly.  pf_row is the entry's row index
+    # into the REPLICATED cubic tables ((comp * max_entries + pf_idx) —
+    # exact small ints in float32); the cumulative fractions drive the
+    # component pick (opticalProperties.f95:429-539).
     ext3 = np.asarray(flat.total_ext, np.float32)
-    ssa3 = np.asarray(flat.ssa, np.float32)[..., 0]
-    cellmat = np.stack([ext3.reshape(n_x * n_y * n_z),
-                        ssa3.reshape(n_x * n_y * n_z)], axis=1)
-    cellmat = cellmat.reshape(n_dev, nx_loc * n_y * n_z, 2)
+    inv_cub = build_inverse_cubic(flat)           # (C, max_e, n_seg, 4)
+    max_entries = inv_cub.shape[1]
+    n_seg = inv_cub.shape[2]
+    comp_rows = (np.arange(C)[None, :] * max_entries
+                 + np.asarray(flat.phase_index).reshape(n_cells, C))
+    cellmat = np.concatenate([
+        ext3.reshape(n_cells, 1),
+        np.asarray(flat.cumulative_ext, np.float32).reshape(n_cells, C),
+        np.asarray(flat.ssa, np.float32).reshape(n_cells, C),
+        comp_rows.astype(np.float32),
+    ], axis=1)
+    cellmat = cellmat.reshape(n_dev, nx_loc * n_y * n_z, 1 + 3 * C)
+    inv_cub_flat = inv_cub.reshape(C * max_entries * n_seg, 4)
     max_ext = float(ext3.max())
     assert max_ext > 0.0, "empty domain"
     inv_max_ext = np.float32(1.0 / max_ext)
@@ -151,9 +172,16 @@ def trace_sharded(domain, source, n_photons: int, mesh: Mesh,
         # (reflected radiance has no downward component).
         surf_pf_np = np.where(mus_d > 0.0, surface_albedo / np.pi,
                               0.0).astype(np.float32)
-        # Ray direction table: rows [0, D) scatter rays, [D, 2D) surface
-        # rays (same directions; the split keys the by-component slot).
-        det_tab_np = np.concatenate([det_dirs.T, det_dirs.T]).astype(np.float32)
+        # Ray direction table, (D, 3); a ray's qdet = slot * D + d encodes
+        # its by-component slot (0 = surface, 1 + comp = scatterer) with
+        # its direction d, both surviving migration in one int field.
+        det_tab_np = det_dirs.T.astype(np.float32)
+        # Replicated log-cubic forward fits: the phase VALUE toward each
+        # detector (tables.build_forward_cubic; the reference's forward-
+        # table interpolation, monteCarloRadiativeTransfer.f95:1487-1509).
+        fwd_cub = build_forward_cubic(flat)
+        n_fwd_seg = fwd_cub.shape[2]
+        fwd_cub_flat = fwd_cub.reshape(C * max_entries * n_fwd_seg, 4)
 
     L = int(n_lanes_per_shard)
     R = L                           # shadow-ray pool slots per shard
@@ -174,15 +202,17 @@ def trace_sharded(domain, source, n_photons: int, mesh: Mesh,
         # Shadow rays drain at ~K cells/block; budget the extra latency.
         max_blocks = 2 * max_blocks + 4 * (nx_loc + n_y + n_z) // K
     key = seed_key if seed_key is not None else jax.random.PRNGKey(0)
-    n_draws = 6  # tau, accept, absorb, scatter, azimuth, surface
+    n_draws = 7  # tau, accept, absorb, scatter, azimuth, surface, component
 
     def worker(local_cells):
         local_cells = local_cells[0]     # shard_map keeps the (1,) shard axis
         me = jax.lax.axis_index(axis)
         x_lo = x0 + shard_w * me.astype(jnp.float32)
         x_hi = x_lo + jnp.float32(shard_w)
+        inv_cubic = jnp.asarray(inv_cub_flat)     # replicated mu(p) fits
         if D:
-            det_tab = jnp.asarray(det_tab_np)                  # (2D, 3)
+            det_tab = jnp.asarray(det_tab_np)                  # (D, 3)
+            fwd_cubic = jnp.asarray(fwd_cub_flat)  # replicated log P fits
             inv_amu_t = jnp.asarray(inv_amu)                   # (D,)
             surf_pf_t = jnp.asarray(surf_pf_np)                # (D,)
             ddx = jnp.asarray(det_dirs[0])
@@ -207,7 +237,7 @@ def trace_sharded(domain, source, n_photons: int, mesh: Mesh,
             Lanes frozen on a full shadow-ray pool (``pend``) sit out.
             """
             (alive, x, y, z, ux, uy, uz, tau, orders, pk, tag, bad,
-             pend, pend_pf, pend_srf) = st
+             pend, pend_pf, pend_srf, pend_comp) = st
             act = alive & ~pend
             tau = jnp.where(tau > 0.0, tau, exponential_deviate(u[0]))
             big = jnp.float32(3e38)
@@ -253,35 +283,67 @@ def trace_sharded(domain, source, n_photons: int, mesh: Mesh,
             y = jnp.where(act, ny_p, y)
             z = jnp.where(act, nz_p, z)
 
-            # Physical-vs-null collision against the LOCAL cell read.
+            # Physical-vs-null collision against the LOCAL cell read, then
+            # the component pick by cumulative-extinction inversion
+            # (findIndex, monteCarloRadiativeTransfer.f95:637-638).
             ix = jnp.clip(((x - x_lo) * inv_dx).astype(jnp.int32),
                           0, nx_loc - 1)
             iy = jnp.clip(((y - y0) * inv_dy).astype(jnp.int32), 0, n_y - 1)
             iz = jnp.clip(((z - z0) * inv_dz).astype(jnp.int32), 0, n_z - 1)
             cell = read_rows(local_cells, (ix * n_y + iy) * n_z + iz)
             physical = collide & (u[1] < cell[:, 0] * inv_max_ext)
-            died = physical & (u[2] >= cell[:, 1])   # Bernoulli absorption
+            if C == 1:
+                comp = jnp.zeros(L, jnp.int32)
+                ssa_v = cell[:, 2]
+                rowb = cell[:, 3].astype(jnp.int32)
+            else:
+                cum = cell[:, 1:1 + C]
+                comp = jnp.clip(jnp.sum((u[6][:, None] >= cum)
+                                        .astype(jnp.int32), axis=1),
+                                0, C - 1)
+                sel = jax.nn.one_hot(comp, C, dtype=jnp.float32)
+                ssa_v = jnp.sum(cell[:, 1 + C:1 + 2 * C] * sel, axis=1)
+                rowb = jnp.sum(cell[:, 1 + 2 * C:1 + 3 * C] * sel,
+                               axis=1).astype(jnp.int32)
+            died = physical & (u[2] >= ssa_v)   # Bernoulli absorption
             scatter = physical & ~died
 
             if D:
                 # Local estimation record: per-detector prefactors from the
-                # INCOMING direction (pre-rotation), weighted by the cell's
-                # ssa — the w*ssa*P/(4 pi |mu_d|) of :1419-1510 under this
-                # tracer's weight-1 scheme.  Emission (pool allocation)
-                # happens in the block glue; the lane freezes until then.
+                # INCOMING direction (pre-rotation), weighted by the picked
+                # component's ssa, with its phase VALUE from the replicated
+                # log-cubic forward fit — the w*ssa*P/(4 pi |mu_d|) of
+                # :1419-1510 under this tracer's weight-1 scheme.  Emission
+                # (pool allocation) happens in the block glue; the lane
+                # freezes until then.
                 proj = jnp.clip(ux[:, None] * ddx[None, :]
                                 + uy[:, None] * ddy[None, :]
                                 + uz[:, None] * ddz[None, :], -1.0, 1.0)
-                pf_new = (hg_phase(g, proj) * inv_amu_t[None, :]
-                          * cell[:, 1][:, None])
+                posd = jnp.arccos(proj) * jnp.float32(n_fwd_seg / np.pi)
+                segd = jnp.clip(posd.astype(jnp.int32), 0, n_fwd_seg - 1)
+                td = posd - segd.astype(posd.dtype)
+                cf = read_rows(fwd_cubic,
+                               (rowb[:, None] * n_fwd_seg + segd)
+                               .reshape(L * D)).reshape(L, D, 4)
+                pf_v = jnp.exp(((cf[..., 3] * td + cf[..., 2]) * td
+                                + cf[..., 1]) * td + cf[..., 0])
+                pf_new = pf_v * inv_amu_t[None, :] * ssa_v[:, None]
                 pend_pf = jnp.where(physical[:, None], pf_new, pend_pf)
+                pend_comp = jnp.where(physical, comp, pend_comp)
                 pend_srf = pend_srf & ~physical
                 pend = pend | physical
 
             pk = jnp.where(exit_top, 1,
                            jnp.where(exit_bot, 2, jnp.where(died, 3, pk)))
             tag = jnp.where(migrate, jnp.where(ux >= 0.0, 1, -1), tag)
-            cs = hg_cosine(g, u[3])
+            # Scattering angle from the picked component's piecewise-cubic
+            # inverse CDF (the replicated kernels' mu(p) fit).
+            pos_s = jnp.clip(u[3], 0.0, 1.0) * n_seg
+            seg_s = jnp.clip(pos_s.astype(jnp.int32), 0, n_seg - 1)
+            t_s = pos_s - seg_s.astype(pos_s.dtype)
+            c4 = read_rows(inv_cubic, rowb * n_seg + seg_s)
+            cs = jnp.clip(((c4[:, 3] * t_s + c4[:, 2]) * t_s
+                           + c4[:, 1]) * t_s + c4[:, 0], -1.0, 1.0)
             nux, nuy, nuz = rotate_direction(ux, uy, uz, cs, u[4])
             ux = jnp.where(scatter, nux, ux)
             uy = jnp.where(scatter, nuy, uy)
@@ -291,7 +353,7 @@ def trace_sharded(domain, source, n_photons: int, mesh: Mesh,
             bad = bad + over.astype(jnp.int32)
             alive = alive & (pk == 0) & (tag == 0) & ~over
             return (alive, x, y, z, ux, uy, uz, tau, orders, pk, tag, bad,
-                    pend, pend_pf, pend_srf)
+                    pend, pend_pf, pend_srf, pend_comp)
 
         def pack_send(m, fields, cap, n_cap):
             """Pack the first ``cap`` masked lanes into an n_cap-slot buffer.
@@ -312,7 +374,7 @@ def trace_sharded(domain, source, n_photons: int, mesh: Mesh,
             kb = carry["kb"]
             launched = carry["launched"]
             (alive, x, y, z, ux, uy, uz, tau, orders, pk, tag, bad,
-             pend, pend_pf, pend_srf) = carry["st"]
+             pend, pend_pf, pend_srf, pend_comp) = carry["st"]
             columns = carry["columns"]
             n_mig = carry["n_mig"]
             inbox, inbox_n = carry["inbox"], carry["inbox_n"]
@@ -368,8 +430,9 @@ def trace_sharded(domain, source, n_photons: int, mesh: Mesh,
                 acc_int, acc_byc = carry["acc_int"], carry["acc_byc"]
 
                 # ---- emission drain: allocate D pool slots per pending
-                # lane (surface records emit rows [D, 2D) of det_tab so the
-                # by-component slot survives migration) -------------------
+                # lane (qdet = slot * D + d encodes the by-component slot —
+                # 0 = surface, 1 + comp = scatterer — so it survives
+                # migration in one int field) ------------------------------
                 free_q = ~q_alive & (qtag == 0)
                 free_rank = jnp.cumsum(free_q.astype(jnp.int32)) - 1
                 n_free = jnp.sum(free_q.astype(jnp.int32))
@@ -391,7 +454,8 @@ def trace_sharded(domain, source, n_photons: int, mesh: Mesh,
                                              mode="drop")
                     qpf = qpf.at[pidx].set(pend_pf[:, d], mode="drop")
                     qdet = qdet.at[pidx].set(
-                        jnp.where(pend_srf, d + D, d).astype(jnp.int32),
+                        jnp.where(pend_srf, d,
+                                  (pend_comp + 1) * D + d).astype(jnp.int32),
                         mode="drop")
                     q_alive = q_alive.at[pidx].set(jnp.ones(L, bool),
                                                    mode="drop")
@@ -400,7 +464,7 @@ def trace_sharded(domain, source, n_photons: int, mesh: Mesh,
                 # ---- shadow-ray advance: K exact cell-DDA steps ----------
                 for _ in range(K):
                     step = q_alive & (qtag == 0)
-                    dirv = read_rows(det_tab, qdet)
+                    dirv = read_rows(det_tab, qdet % D)
                     rdx, rdy, rdz = dirv[:, 0], dirv[:, 1], dirv[:, 2]
                     qix = jnp.clip(((qx - x_lo) * inv_dx).astype(jnp.int32),
                                    0, nx_loc - 1)
@@ -448,10 +512,11 @@ def trace_sharded(domain, source, n_photons: int, mesh: Mesh,
                     det_id = qdet % D
                     idx_i = (eix * n_y + eiy) * D + det_id
                     acc_int = tally_add(acc_int, idx_i, contrib, escaped)
-                    # By-component: slot 0 = surface, 1 = the cloud.
-                    slot = jnp.where(qdet >= D, 0, 1)
-                    acc_byc = tally_add(acc_byc, idx_i * 2 + slot, contrib,
-                                        escaped)
+                    # By-component slot from the qdet encoding:
+                    # 0 = surface, 1 + comp = scatterer.
+                    slot = qdet // D
+                    acc_byc = tally_add(acc_byc, idx_i * (C + 1) + slot,
+                                        contrib, escaped)
                     q_alive = q_alive & ~escaped
                     mig_q = step & ~escaped & ((nqx >= x_hi) | (nqx < x_lo))
                     wx = x_max - x0
@@ -587,7 +652,7 @@ def trace_sharded(domain, source, n_photons: int, mesh: Mesh,
             alive = alive | refill
 
             st = (alive, x, y, z, ux, uy, uz, tau, orders, pk, tag, bad,
-                  pend, pend_pf, pend_srf)
+                  pend, pend_pf, pend_srf, pend_comp)
             for j in range(K):
                 u = jax.random.uniform(
                     jax.random.fold_in(jax.random.fold_in(key, me), kb * K + j),
@@ -621,7 +686,7 @@ def trace_sharded(domain, source, n_photons: int, mesh: Mesh,
         st0 = (jnp.zeros(L, bool), zero_f, zero_f, zero_f, zero_f, zero_f,
                zero_f, zero_f, zero_i, zero_i, zero_i, zero_i,
                jnp.zeros(L, bool), jnp.zeros((L, Dp), jnp.float32),
-               jnp.zeros(L, bool))
+               jnp.zeros(L, bool), zero_i)
         empty_dir = tuple(jnp.zeros(INBOX, jnp.float32) for _ in range(8))
         carry0 = {
             "kb": jnp.int32(0), "launched": jnp.int32(0), "st": st0,
@@ -642,7 +707,8 @@ def trace_sharded(domain, source, n_photons: int, mesh: Mesh,
                 "q_inbox": (empty_q, empty_q),
                 "q_inbox_n": jnp.zeros(2, jnp.int32),
                 "acc_int": jnp.zeros(nx_loc * n_y * D, jnp.float32),
-                "acc_byc": jnp.zeros(nx_loc * n_y * D * 2, jnp.float32),
+                "acc_byc": jnp.zeros(nx_loc * n_y * D * (C + 1),
+                                     jnp.float32),
             })
         carry = jax.lax.while_loop(cond, body, carry0)
         (alive, x, y, z, *_rest) = carry["st"]
@@ -702,7 +768,7 @@ def trace_sharded(domain, source, n_photons: int, mesh: Mesh,
         vol = jnp.zeros(n_cols * n_z, jnp.float32)
     if D:
         acc_int = outs[pos].reshape(n_cols * D)
-        acc_byc = outs[pos + 1].reshape(n_cols * D * 2)
+        acc_byc = outs[pos + 1].reshape(n_cols * D * (C + 1))
     else:
         acc_int = jnp.zeros(0, jnp.float32)
         acc_byc = jnp.zeros(0, jnp.float32)
@@ -713,6 +779,6 @@ def trace_sharded(domain, source, n_photons: int, mesh: Mesh,
         volume_absorption=vol,
         intensity=acc_int,
         intensity_by_component=acc_byc,
-        intensity_excess=jnp.zeros(D * 2, jnp.float32),
+        intensity_excess=jnp.zeros(D * (C + 1), jnp.float32),
         n_photons=jnp.int32(n_total), n_bad=n_bad,
         n_iterations=kb * K, n_lane_events=n_mig.astype(jnp.float32))

@@ -222,3 +222,79 @@ def test_sharded_volume_absorption():
                 / (nx * ny))
     sigma = np.sqrt(prof_ref.clip(min=1e-4) / n)   # Poisson-ish per layer
     np.testing.assert_array_less(np.abs(prof_sh - prof_ref), 5 * sigma + 5e-4)
+
+
+def test_sharded_multicomponent_tabulated():
+    """Round-4 generalization: a 2-component scene — a TABULATED-phase
+    (Dermendjian C.1) cloud plus a Rayleigh-like component with a second
+    HG entry — shards with the cumulative-extinction component pick and
+    the replicated cubic mu(p)/log-P fits.  Fluxes AND radiances match the
+    replicated general kernel, and the by-component split resolves both
+    scatterers."""
+    from i3rc_tpu.core.optics import Domain
+    from i3rc_tpu.core.phase_functions import (
+        PhaseFunction,
+        PhaseFunctionTable,
+        henyey_greenstein_coefficients,
+    )
+    from i3rc_tpu.models.radar_cloud import load_c1_tabulated
+    from i3rc_tpu.parallel.mesh import run_batches
+
+    rng = np.random.default_rng(11)
+    nx, ny, nz = 16, 4, 6
+    cloud_ext = rng.uniform(0.0, 0.02, (nx, ny, nz))
+    cloud_ext[cloud_ext < 0.004] = 0.0
+    c1 = PhaseFunctionTable.from_phase_functions([load_c1_tabulated()],
+                                                 key=[1.0])
+    ray_tab = PhaseFunctionTable.from_phase_functions(
+        [PhaseFunction.from_legendre(np.array([0.0, 0.1]))], key=[1.0])
+    dom = Domain.create(np.linspace(0, 480, nx + 1),
+                        np.linspace(0, 120, ny + 1),
+                        np.linspace(0, 180, nz + 1))
+    dom = dom.add_component("cloud", cloud_ext, np.full_like(cloud_ext, 0.95),
+                            np.zeros(cloud_ext.shape, np.int32), c1)
+    dom = dom.add_component("rayleigh", np.full(nz, 2e-3),
+                            np.ones(nz), np.zeros(nz, np.int32), ray_tab)
+    mesh = _mesh(4)
+    assert shardable(dom, mesh)
+
+    src = PhotonSource.directional(0.6, 30.0)
+    mus, phis = [1.0, -0.5], [0.0, 0.0]
+    n = 1 << 15
+    raw = trace_sharded(dom, src, n, mesh, n_lanes_per_shard=1 << 12,
+                        max_events=500, seed_key=jax.random.PRNGKey(13),
+                        intensity_mus=mus, intensity_phis=phis)
+    n_total = int(raw.n_photons)
+    assert int(raw.n_bad) < 0.001 * n_total + 2
+    fup_s = float(raw.flux_up.sum()) / n_total
+    fabs_s = float(raw.flux_absorbed.sum()) / n_total
+    I_sh = (np.asarray(raw.intensity).reshape(nx * ny, 2).sum(axis=0)
+            / n_total)
+    byc = np.asarray(raw.intensity_by_component).reshape(nx * ny, 2, 3)
+    # Black surface: slot 0 empty; both scatterer slots populated; the
+    # split sums back to the total.
+    assert byc[:, :, 0].sum() == 0.0
+    assert byc[:, 0, 1].sum() > 0.0 and byc[:, 0, 2].sum() > 0.0
+    np.testing.assert_allclose(byc.sum(axis=-1).sum(axis=0) / n_total, I_sh,
+                               rtol=1e-5)
+
+    ref = Integrator.create(
+        dom, intensity_mus=mus, intensity_phis=phis,
+        config=IntegratorConfig(use_ray_tracing=False, max_events=500,
+                                use_fastpath=False))
+    stats = run_batches(ref, src, n // 8, 8, seed=17)
+    fup_r = float(np.asarray(stats.mean.flux_up).mean())
+    sigma = np.sqrt(max(fup_r * (1 - fup_r), 0.02) * (1.0 / n + 1.0 / n_total))
+    assert fup_s == pytest.approx(fup_r, abs=4 * sigma)
+    assert fabs_s == pytest.approx(
+        float(np.asarray(stats.mean.flux_absorbed).mean()), abs=4 * sigma)
+    I_ref = np.asarray(stats.mean.intensity).mean(axis=(0, 1))
+    se_ref = np.asarray(stats.stderr.intensity).mean(axis=(0, 1))
+    byc_ref = np.asarray(stats.mean.intensity_by_component).mean(axis=(0, 1))
+    for d in range(2):
+        assert abs(I_sh[d] - I_ref[d]) < 5 * np.hypot(se_ref[d], se_ref[d]), (
+            d, I_sh[d], I_ref[d], se_ref[d])
+    # Per-component agreement (domain means, looser: fewer samples/slot).
+    byc_sh = byc.sum(axis=0) / n_total
+    np.testing.assert_allclose(byc_sh[:, 1:], byc_ref[:, 1:],
+                               rtol=0.25, atol=2e-4)
