@@ -113,6 +113,46 @@ def run_radiance(jax, scale):
     return n_photons / dt, res
 
 
+def run_glint(jax, scale):
+    """Thin cirrus over a Cox-Munk ocean, flux only: the BRDF fastpath row.
+
+    Round-4 gate (VERDICT r3 #1): the Wishlist BRDF surfaces elect the
+    fused fastpath + Pallas event block — bottom hits pend as kind 2, the
+    per-block glue samples the cosine-weighted outgoing direction and
+    carries the max(R,1) weight.  tau=0.2 so most photons actually reach
+    the surface and the BRDF path dominates the workload."""
+    import numpy as np
+    from i3rc_tpu import Domain, Integrator, PhaseFunction, SurfaceDescription
+    from i3rc_tpu.core.illumination import PhotonSource
+    from i3rc_tpu.core.phase_functions import (
+        PhaseFunctionTable,
+        henyey_greenstein_coefficients,
+    )
+    from i3rc_tpu.integrators.config import IntegratorConfig
+
+    table = PhaseFunctionTable.from_phase_functions(
+        [PhaseFunction.from_legendre(
+            henyey_greenstein_coefficients(0.75, 48))], key=[1.0])
+    dom = Domain.create([0.0, 1000.0], [0.0, 1000.0], [0.0, 1000.0])
+    ext = np.full((1, 1, 1), 0.2 / 1000.0)
+    dom = dom.add_component("cirrus", ext, np.ones_like(ext),
+                            np.zeros(ext.shape, np.int32), table)
+    surface = SurfaceDescription.uniform([5.0, 1.34], brdf_name="cox_munk")
+    n_photons = (1 << 27) // scale
+    integ = Integrator.create(
+        dom, surface=surface,
+        config=IntegratorConfig(use_ray_tracing=False, max_events=500,
+                                compute_volume_absorption=False))
+    fn = integ.batch_fn(PhotonSource.directional(0.707, 0.0), n_photons,
+                        n_lanes=min(1 << 18, n_photons))
+    key = jax.random.key(5, impl="rbg")
+    res = fn(jax.random.fold_in(key, 99))
+    _drain(res.flux_up)
+    dt, res = _median_time(fn, [jax.random.fold_in(key, i) for i in range(3)],
+                           lambda r: jax.block_until_ready(r.flux_up))
+    return n_photons / dt, res
+
+
 def run_landsat(jax, scale):
     """I3RC case 4 (128x128x119 Landsat scene) flux — the large-domain path."""
     from i3rc_tpu.core.illumination import PhotonSource
@@ -420,6 +460,9 @@ def main():
         r_rate, r_res = run_radiance(jax, scale)
         extras.append({"metric": "photons/sec/chip (step cloud, 3 radiance detectors)",
                        "value": r_rate, "unit": "photons/s"})
+        g_rate, g_res = run_glint(jax, scale)
+        extras.append({"metric": "photons/sec/chip (Cox-Munk glint, thin cirrus, flux, BRDF fastpath)",
+                       "value": g_rate, "unit": "photons/s"})
         l_rate, l_res = run_landsat(jax, scale)
         extras.append({"metric": "photons/sec/chip (Landsat case 4, 1.95M cells, flux)",
                        "value": l_rate, "unit": "photons/s"})

@@ -458,10 +458,12 @@ def test_fuse_k_auto_fallback():
 
 def test_spectral_loop_brdf_surface_sharded():
     """BASELINE config 5 end-to-end shape: kDistribution spectral loop +
-    surface BRDF + sharded mesh.  BRDF surfaces are fused-ineligible, so
-    fuse_k='auto' must fall back to the general-kernel loop, run sharded
-    over the 8-device CPU mesh, and the RPV surface must raise the band's
-    upwelling flux over the black-surface band."""
+    surface BRDF + sharded mesh.  Since round 4 uniform-parameter BRDF
+    surfaces elect the fastpath (flush-time BRDF reflection), so
+    fuse_k='auto' must pick the FUSED single-dispatch loop, run sharded
+    over the 8-device CPU mesh, the RPV surface must raise the band's
+    upwelling flux over the black-surface band, and the fused band must
+    agree statistically with the traced-override general-kernel loop."""
     from i3rc_tpu.core.illumination import PhotonSource
     from i3rc_tpu.core.optics import Domain
     from i3rc_tpu.core.surface import SurfaceDescription
@@ -489,21 +491,26 @@ def test_spectral_loop_brdf_surface_sharded():
     rpv = SurfaceDescription.uniform([0.4, 1.0, 0.0], brdf_name="rpv")
     dom_gas = domain_with_gas_component(dom, kd.absorption_profiles_on(z)[:, 0])
 
-    def band_for(surface):
+    def band_for(surface, fuse_k="auto", expect=None):
         integ = Integrator.create(dom_gas, config=cfg, surface=surface)
         cache = {}
         band = run_band(integ, dom, kd, src, 2048, 8, seed=7, mesh=mesh,
-                        fuse_k="auto", integrator_cache=cache)
-        # BRDF surfaces cannot fuse OR bake a fastpath: the memoized auto
-        # decision must be the traced-override general loop.
-        if surface is not None:
-            assert cache[("auto_decision", id(kd), id(dom))][0] == {
-                "bake_fastpath": False}
-        return float(np.asarray(band.mean.flux_up).mean())
+                        fuse_k=fuse_k, integrator_cache=cache)
+        if expect is not None:
+            assert cache[("auto_decision", id(kd), id(dom))][0] == expect
+        fup = np.asarray(band.mean.flux_up)
+        se = np.asarray(band.stderr.flux_up)
+        return float(fup.mean()), float(np.sqrt((se ** 2).mean()))
 
-    fup_rpv = band_for(rpv)
-    fup_black = band_for(None)
+    # Round 4: uniform-parameter BRDFs are fastpath- (hence fused-)eligible.
+    fup_rpv, se_rpv = band_for(rpv, expect={"fuse_k": True})
+    fup_black, _ = band_for(None)
     assert 0.0 < fup_black < fup_rpv < 1.0
+    # Cross-check the fused BRDF band against the traced-override general
+    # loop (the round-3 fallback path): same physics, different kernels.
+    fup_gen, se_gen = band_for(rpv, fuse_k=False)
+    assert abs(fup_rpv - fup_gen) < 5.0 * np.hypot(se_rpv, se_gen) + 1e-6, (
+        fup_rpv, fup_gen, se_rpv, se_gen)
 
 
 def test_fuse_k_rejects_override():
