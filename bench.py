@@ -23,6 +23,18 @@ cannot catch those):
 
 Flags: --quick (1/8 photons), --profile (capture a jax.profiler trace and
 print a per-phase time table to stderr), --no-extras (headline only).
+
+Time budget: the driver wraps this script in an external `timeout`; a
+run that exceeds it records rc=124 and NO metric at all (this happened
+in round 4: a new row's cold compile pushed the total past the cap and
+the whole round's bench was lost).  So the script enforces its own
+budget (BENCH_TIME_BUDGET_S, default 1200 s) from a watchdog THREAD —
+a thread, not a signal handler, because SIGTERM/SIGALRM handlers only
+run between Python bytecodes and an XLA compile blocks the main thread
+in C for minutes.  When the budget expires the watchdog prints the JSON
+line with every row completed so far and hard-exits; each extra row is
+additionally skipped up front if the remaining budget is below its
+historical cost, so the headline + checks always make it out.
 """
 
 import argparse
@@ -390,6 +402,82 @@ def check_headline(res, n_photons):
     return ok, msgs
 
 
+class _BenchState:
+    """Shared mutable bench state the watchdog thread can emit from."""
+
+    def __init__(self, t_start, budget):
+        import threading
+        self.t_start = t_start
+        self.deadline = t_start + budget
+        self.budget = budget
+        self.out = None          # headline dict, set once computed
+        self.extras = []
+        self.messages = []
+        self.checks_passed = True
+        self.emitted = False
+        self.lock = threading.Lock()
+
+    def remaining(self):
+        return self.deadline - time.time()
+
+    def emit(self):
+        """Print the ONE JSON line (idempotent; thread-safe)."""
+        with self.lock:
+            if self.emitted or self.out is None:
+                return False
+            self.emitted = True
+            self.out["checks_passed"] = self.checks_passed
+            self.out["extra_metrics"] = self.extras
+            print(json.dumps(self.out))
+            sys.stdout.flush()
+            for m in self.messages:
+                print(f"# {m}", file=sys.stderr)
+            sys.stderr.flush()
+            return True
+
+    def watchdog(self):
+        """Daemon thread: at the deadline, emit whatever is done and exit.
+
+        Runs even while the main thread is stuck inside a C-level XLA
+        compile (which releases the GIL) — the one case signal-based
+        timeouts cannot cover."""
+        import os
+        while True:
+            rem = self.remaining()
+            if rem <= 0:
+                break
+            time.sleep(min(rem, 5.0))
+        if self.out is not None and not self.emitted:
+            self.messages.append(
+                f"time budget {self.budget:.0f}s exhausted; emitted with "
+                f"{len(self.extras)} completed extra rows")
+            self.emit()
+            os._exit(0 if self.checks_passed else 1)
+        # Headline not done yet: nothing useful to print — leave the
+        # driver's external timeout to deal with it.
+
+
+def _guarded_row(state, label, est_s, fn):
+    """Run one extra-metric row under the global budget.
+
+    Skips the row if the remaining budget is under its historical cost
+    (est_s, cold-compile worst case); converts row exceptions into a
+    message instead of sinking the whole bench."""
+    rem = state.remaining()
+    if rem < est_s:
+        state.messages.append(
+            f"skip row '{label}': {rem:.0f}s budget left < {est_s:.0f}s est")
+        return None
+    t0 = time.perf_counter()
+    try:
+        out = fn()
+    except Exception as e:  # pragma: no cover - device-specific failures
+        state.messages.append(f"FAIL row '{label}': {e!r}")
+        return None
+    state.messages.append(f"row '{label}': {time.perf_counter() - t0:.0f}s")
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="1/8 photon counts")
@@ -397,7 +485,18 @@ def main():
     ap.add_argument("--no-check", action="store_true", help="skip smoke checks")
     ap.add_argument("--profile", metavar="DIR", default=None,
                     help="capture a jax.profiler trace of the headline run")
+    ap.add_argument("--budget", type=float, default=None,
+                    help="total wall-clock budget in seconds "
+                         "(default $BENCH_TIME_BUDGET_S or 1200)")
     args = ap.parse_args()
+
+    import os
+    import threading
+
+    budget = args.budget if args.budget is not None else float(
+        os.environ.get("BENCH_TIME_BUDGET_S", "1200"))
+    state = _BenchState(time.time(), budget)
+    threading.Thread(target=state.watchdog, daemon=True).start()
 
     import jax
 
@@ -409,7 +508,6 @@ def main():
     # QUIET plugin failure instead falls back to CPU silently — treat that
     # as a failure too when a TPU relay is configured, so the bench never
     # reports a CPU rate as the chip headline.
-    import os
     tpu_expected = bool(os.environ.get("PALLAS_AXON_POOL_IPS")) and \
         os.environ.get("JAX_PLATFORMS", "") != "cpu"
     for attempt in range(10):
@@ -437,7 +535,6 @@ def main():
             time.sleep(60)
 
     scale = 8 if args.quick else 1
-    extras = []
 
     if args.profile:
         from i3rc_tpu.utils.profiling import profile_report
@@ -448,59 +545,77 @@ def main():
         rate, res, dt = run_headline(jax, scale)
     n_headline = (1 << 30) // scale
 
-    checks_passed = True
-    messages = []
-    if not args.no_check:
-        ok1, m1 = check_headline(res, n_headline)
-        ok2, m2 = run_checks(jax, args.quick)
-        checks_passed = ok1 and ok2
-        messages = m1 + m2
-
-    if not args.no_extras:
-        r_rate, r_res = run_radiance(jax, scale)
-        extras.append({"metric": "photons/sec/chip (step cloud, 3 radiance detectors)",
-                       "value": r_rate, "unit": "photons/s"})
-        g_rate, g_res = run_glint(jax, scale)
-        extras.append({"metric": "photons/sec/chip (Cox-Munk glint, thin cirrus, flux, BRDF fastpath)",
-                       "value": g_rate, "unit": "photons/s"})
-        l_rate, l_res = run_landsat(jax, scale)
-        extras.append({"metric": "photons/sec/chip (Landsat case 4, 1.95M cells, flux)",
-                       "value": l_rate, "unit": "photons/s"})
-        lg_rate, lg_res = run_landsat_general(jax, scale)
-        extras.append({"metric": "photons/sec/chip (Landsat case 4, general kernel, chained)",
-                       "value": lg_rate, "unit": "photons/s"})
-        la_rate, la_res = run_landsat_absorbing_radiance(jax, scale)
-        extras.append({"metric": "photons/sec/chip (Landsat ssa=0.99 + 2 detectors, general kernel)",
-                       "value": la_rate, "unit": "photons/s"})
-        gr_rate, gr_res = run_general_radiance(jax, scale)
-        extras.append({"metric": "photons/sec/chip (step cloud + 3 detectors, general kernel queued)",
-                       "value": gr_rate, "unit": "photons/s"})
-        b_rate, b_res, bf_rate, bf_res = run_spectral(jax, scale)
-        extras.append({"metric": "photons/sec/chip (broadband k-distribution, 2 k-points)",
-                       "value": b_rate, "unit": "photons/s"})
-        extras.append({"metric": "photons/sec/chip (broadband fused-k, single dispatch per band)",
-                       "value": bf_rate, "unit": "photons/s"})
-        import numpy as np
-        messages.append(
-            f"radiance I={[round(float(v), 4) for v in np.asarray(r_res.mean_intensity)]} "
-            f"landsat Fup={float(l_res.mean_flux_up):.4f} "
-            f"broadband Fup={float(np.asarray(b_res.flux_up).mean()):.4f} "
-            f"fused Fup={float(np.asarray(bf_res.flux_up).mean()):.4f}")
-
-    out = {
+    state.out = {
         "metric": "photons/sec/chip (I3RC step cloud, flux, max cross-section)",
         "value": rate,
         "unit": "photons/s",
         "vs_baseline": rate / 5e8,
-        "checks_passed": checks_passed,
-        "extra_metrics": extras,
     }
-    print(json.dumps(out))
-    print(f"# Fup={float(res.mean_flux_up):.4f} dt={dt*1e3:.1f}ms "
-          f"device={jax.devices()[0]}", file=sys.stderr)
-    for m in messages:
-        print(f"# {m}", file=sys.stderr)
-    if not checks_passed:
+    state.messages.append(
+        f"Fup={float(res.mean_flux_up):.4f} dt={dt*1e3:.1f}ms "
+        f"device={jax.devices()[0]} headline at +{time.time()-state.t_start:.0f}s")
+
+    if not args.no_check:
+        ok1, m1 = check_headline(res, n_headline)
+        ok2, m2 = run_checks(jax, args.quick)
+        state.checks_passed = ok1 and ok2
+        state.messages.extend(m1 + m2)
+
+    if not args.no_extras:
+        import numpy as np
+
+        def row(label, est_s, fn, metric):
+            got = _guarded_row(state, label, est_s, fn)
+            if got is not None:
+                state.extras.append(
+                    {"metric": metric, "value": got[0], "unit": "photons/s"})
+            return got
+
+        # est_s = cold-compile worst case measured on the bench chip; rows
+        # whose budget has run out are skipped, most-important first order.
+        r = row("radiance", 150, lambda: run_radiance(jax, scale),
+                "photons/sec/chip (step cloud, 3 radiance detectors)")
+        l = row("landsat", 150, lambda: run_landsat(jax, scale),
+                "photons/sec/chip (Landsat case 4, 1.95M cells, flux)")
+        g = row("glint", 180, lambda: run_glint(jax, scale),
+                "photons/sec/chip (Cox-Munk glint, thin cirrus, flux, BRDF fastpath)")
+        b = _guarded_row(state, "spectral", 280,
+                         lambda: run_spectral(jax, scale))
+        if b is not None:
+            b_rate, b_res, bf_rate, bf_res = b
+            state.extras.append(
+                {"metric": "photons/sec/chip (broadband k-distribution, 2 k-points)",
+                 "value": b_rate, "unit": "photons/s"})
+            state.extras.append(
+                {"metric": "photons/sec/chip (broadband fused-k, single dispatch per band)",
+                 "value": bf_rate, "unit": "photons/s"})
+        lg = row("landsat_general", 180,
+                 lambda: run_landsat_general(jax, scale),
+                 "photons/sec/chip (Landsat case 4, general kernel, chained)")
+        la = row("landsat_radiance", 220,
+                 lambda: run_landsat_absorbing_radiance(jax, scale),
+                 "photons/sec/chip (Landsat ssa=0.99 + 2 detectors, general kernel)")
+        gr = row("general_radiance", 180,
+                 lambda: run_general_radiance(jax, scale),
+                 "photons/sec/chip (step cloud + 3 detectors, general kernel queued)")
+        cross = []
+        if r is not None:
+            cross.append("radiance I=" + str(
+                [round(float(v), 4) for v in np.asarray(r[1].mean_intensity)]))
+        if l is not None:
+            cross.append(f"landsat Fup={float(l[1].mean_flux_up):.4f}")
+        if g is not None:
+            cross.append(
+                f"glint Fup={float(np.asarray(g[1].mean_flux_up)):.4f}")
+        if b is not None:
+            cross.append(
+                f"broadband Fup={float(np.asarray(b_res.flux_up).mean()):.4f}"
+                f" fused Fup={float(np.asarray(bf_res.flux_up).mean()):.4f}")
+        if cross:
+            state.messages.append(" ".join(cross))
+
+    state.emit()
+    if not state.checks_passed:
         sys.exit(1)
 
 
