@@ -224,14 +224,20 @@ def run_landsat_absorbing_radiance(jax, scale):
     from i3rc_tpu.integrators.integrator import Integrator
     from i3rc_tpu.models.landsat_cloud import make_landsat_cloud
 
-    n_photons = (1 << 17) // scale
+    # Round-5 shape retune (scan on the bench chip): the chained
+    # ratio-tracking radiance kernel is tail- and occupancy-bound, not
+    # width-bound — 2^21 photons through NARROW 2^13-lane wavefronts beat
+    # the round-4 2^17/2^15 shape 4x (1.15e5 vs 2.9e4 photons/s; wider
+    # 2^15 lanes WASTE lanes frozen on pending ray slots, and small
+    # dispatches pay the ray-drain tail every time).
+    n_photons = (1 << 21) // scale
     integ = Integrator.create(
         make_landsat_cloud(0.99),
         config=IntegratorConfig(use_ray_tracing=False, max_events=500,
                                 compute_volume_absorption=False),
         intensity_mus=[1.0, 0.5], intensity_phis=[0.0, 0.0])
     fn = integ.batch_fn(PhotonSource.directional(0.5, 0.0), n_photons,
-                        n_lanes=min(1 << 15, n_photons))
+                        n_lanes=min(1 << 13, n_photons))
     key = jax.random.key(3, impl="rbg")
     res = fn(jax.random.fold_in(key, 99))
     _drain(res.intensity)

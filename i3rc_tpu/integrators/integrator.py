@@ -411,8 +411,16 @@ class Integrator:
         one-hot column read scales super-linearly with lane count (2^15
         lanes measured 1.5x the throughput of 2^17 on the full Landsat
         scene — PERF_NOTES.md round-3 column ledger); everything else
-        stays wide.
+        stays wide.  Serial-gather radiance (the chained ratio-tracking
+        tracer) goes NARROWER still: lanes freeze while their ray slots
+        drain, and the round-5 bench-chip scan measured 2^13 lanes 2.7x
+        faster than 2^15 at equal dispatch (Landsat + 2 detectors).
         """
+        from i3rc_tpu.ops.gather import ONEHOT_MAX_ROWS
+        if (self.intensity is not None
+                and self._flat.total_ext.size > ONEHOT_MAX_ROWS
+                and self.config.use_ratio_tracking_for_intensity):
+            return 1 << 13
         plan = self._fast_plan
         return (1 << 15) if (plan is not None
                              and plan.column_data is not None) else (1 << 20)

@@ -314,7 +314,13 @@ def make_chained_flux_tracer(geom: GridGeometry, optics: DeviceOptics,
     tests/test_serial_path.py), different RNG event stream.
     """
     n_x, n_y, n_z = geom.n_x, geom.n_y, geom.n_z
-    L = int(n_lanes or min(n_photons, 1 << 20))
+    # Default wavefront width: with radiance detectors the kernel is
+    # occupancy-bound (a lane freezes while its ray slots drain), and the
+    # round-5 bench-chip scan measured NARROW wavefronts fastest — 2^13
+    # lanes beat 2^15 by 2.7x at equal dispatch (1.15e5 vs 4.3e4 photons/s
+    # on Landsat + 2 detectors).  Flux-only keeps the wide default.
+    default_lanes = (1 << 13) if intensity is not None else (1 << 20)
+    L = int(n_lanes or min(n_photons, default_lanes))
     D = intensity.n_directions if intensity is not None else 0
     max_iters = config.max_events * (n_photons // L + 2) * (2 if D else 1)
     inv_cap = jnp.float32(1e-30)
