@@ -34,6 +34,10 @@ _EXPORTS = {
     "Integrator": "i3rc_tpu.integrators.integrator",
     "IntegratorConfig": "i3rc_tpu.integrators.integrator",
     "Results": "i3rc_tpu.integrators.results",
+    "PhaseMatrix": "i3rc_tpu.core.phase_matrices",
+    "PhaseMatrixTable": "i3rc_tpu.core.phase_matrices",
+    "PolarizedIntegrator": "i3rc_tpu.integrators.polarized",
+    "PolarizedResults": "i3rc_tpu.integrators.polarized",
     "run_batches": "i3rc_tpu.parallel.mesh",
     "run_broadband": "i3rc_tpu.integrators.spectral",
 }

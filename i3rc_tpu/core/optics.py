@@ -224,5 +224,12 @@ def flatten_optics(domain: Domain) -> FlatOptics:
         cumulative_ext=frac.astype(np.float32),
         ssa=ssa.astype(np.float32),
         phase_index=index,
-        forward_tables=tuple(c.table for c in domain.components),
+        # Polarized components (PhaseMatrixTable) downgrade to their P11
+        # scalar tables here: the scalar kernels transport P11 and ignore
+        # polarization, so a matrix-table domain runs unchanged on every
+        # scalar path; the polarized integrator reads the matrices from
+        # domain.components directly.
+        forward_tables=tuple(
+            c.table.scalar if hasattr(c.table, "phase_matrices") else c.table
+            for c in domain.components),
     )

@@ -67,6 +67,10 @@ def run_from_namelist(namelist_path: str, quiet: bool = False) -> dict:
     # heterogeneous clouds.  Set majorantBlockSize = 0 for the reference's
     # exact algorithm.
     majorant_block_size = int(_get(g, "algorithms", "majorantblocksize", 16))
+    # Polarized extension (reference Wishlist item 3): Stokes-vector
+    # transport + polarized radiances.  Requires a domain whose components
+    # carry phase MATRICES (the io/netcdf.py phaseMatrixElements extension).
+    polarized = bool(_get(g, "algorithms", "polarized", False))
 
     report_volume = bool(_get(g, "output", "reportvolumeabsorption", False))
     report_profile = bool(_get(g, "output", "reportabsorptionprofile", False))
@@ -101,8 +105,23 @@ def run_from_namelist(namelist_path: str, quiet: bool = False) -> dict:
         compute_volume_absorption=(report_volume or report_profile
                                    or bool(out_abs_prof) or bool(out_abs_vol)),
     )
-    integ = Integrator.create(domain, config=config, surface_albedo=surface_albedo,
-                              intensity_mus=mus, intensity_phis=phis)
+    if polarized:
+        from i3rc_tpu.integrators.polarized import PolarizedIntegrator
+
+        if config.compute_volume_absorption:
+            import warnings as _warnings
+
+            from i3rc_tpu.utils.errors import I3RCWarning
+            _warnings.warn("polarized transport reports column absorption "
+                           "only; volume-absorption outputs are skipped",
+                           I3RCWarning, stacklevel=2)
+        integ = PolarizedIntegrator.create(
+            domain, config=config, surface_albedo=surface_albedo,
+            intensity_mus=mus, intensity_phis=phis)
+    else:
+        integ = Integrator.create(domain, config=config,
+                                  surface_albedo=surface_albedo,
+                                  intensity_mus=mus, intensity_phis=phis)
     source = PhotonSource.directional(solar_mu, solar_azimuth)
     t_setup = time.perf_counter() - t0
     if not quiet:
@@ -116,8 +135,9 @@ def run_from_namelist(namelist_path: str, quiet: bool = False) -> dict:
             "mean_flux_up": res.mean_flux_up,
             "mean_flux_down": res.mean_flux_down,
             "mean_flux_absorbed": res.mean_flux_absorbed,
-            "absorbed_profile": res.absorbed_profile,
         }
+        if not polarized:
+            out["absorbed_profile"] = res.absorbed_profile
         if compute_intensity:
             out["mean_intensity"] = res.mean_intensity
         return out
@@ -155,8 +175,15 @@ def run_from_namelist(namelist_path: str, quiet: bool = False) -> dict:
     flux_up = (np_(res_m.flux_up), np_(res_e.flux_up))
     flux_down = (np_(res_m.flux_down), np_(res_e.flux_down))
     flux_abs = (np_(res_m.flux_absorbed), np_(res_e.flux_absorbed))
-    profile = (np_(der_m["absorbed_profile"]), np_(der_e["absorbed_profile"]))
-    volume = (np_(res_m.volume_absorption), np_(res_e.volume_absorption))
+    if polarized:
+        # Polarized transport tallies column absorption only.
+        nz = domain.n_z
+        zeros3 = np.zeros(flux_up[0].shape + (nz,), np.float32)
+        profile = (np.zeros(nz, np.float32), np.zeros(nz, np.float32))
+        volume = (zeros3, zeros3)
+    else:
+        profile = (np_(der_m["absorbed_profile"]), np_(der_e["absorbed_profile"]))
+        volume = (np_(res_m.volume_absorption), np_(res_e.volume_absorption))
     radiance = ((np_(res_m.intensity), np_(res_e.intensity))
                 if compute_intensity else None)
     mean_stats = [(float(der_m[k]), float(der_e[k]))

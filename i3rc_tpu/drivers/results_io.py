@@ -83,8 +83,14 @@ def write_volume_absorption_ascii(path, cfg, x_edges, y_edges, z_edges, volume):
 
 def write_radiance_ascii(path, cfg, x_edges, y_edges, z_edges,
                          intensity_mus, intensity_phis, radiance):
-    """Pixel radiance file (:572-604); radiance is (mean, stderr) of (nx,ny,D)."""
-    nx, ny, nd = radiance[0].shape
+    """Pixel radiance file (:572-604); radiance is (mean, stderr) of (nx,ny,D).
+
+    Polarized extension (Wishlist.txt:30-31, "the driver programs need to
+    report polarized results"): a (nx, ny, D, 4) radiance writes four
+    (mean, StdErr) column pairs per pixel, I Q U V in the detector-
+    meridian convention (integrators/polarized.py docstring)."""
+    stokes = radiance[0].ndim == 4
+    nx, ny, nd = radiance[0].shape[:3]
     xc = 0.5 * (x_edges[:-1] + x_edges[1:])
     yc = 0.5 * (y_edges[:-1] + y_edges[1:])
     with open(path, "w") as f:
@@ -96,16 +102,31 @@ def write_radiance_ascii(path, cfg, x_edges, y_edges, z_edges,
         f.write(f"!  limited_intensity_contributions="
                 f"{'T' if cfg['limit_intensity'] else 'F'}"
                 f"   max_intensity_contribution={cfg['max_intensity']:5.2f}\n")
-        f.write("!  Output_Type= Pixel Radiance\n")
+        if stokes:
+            f.write("!  Output_Type= Pixel Stokes Radiance (I Q U V, "
+                    "detector-meridian frame)\n")
+        else:
+            f.write("!  Output_Type= Pixel Radiance\n")
         f.write(f"!  RADIANCE AT Z={z_edges[-1]:7.3f}   NXO={nx:4d}   NYO={ny:4d}"
                 f"   NDIR={nd:4d}\n")
-        f.write("!   X      Y         Radiance (Mean, StdErr)\n")
+        if stokes:
+            f.write("!   X      Y         I (Mean, StdErr)   Q   U   V\n")
+        else:
+            f.write("!   X      Y         Radiance (Mean, StdErr)\n")
         for k in range(nd):
             f.write(f"!  {intensity_mus[k]:8.5f} {intensity_phis[k]:6.2f}  <- (mu,phi)\n")
             for j in range(ny):
                 for i in range(nx):
-                    f.write(f"{xc[i]:7.3f}{yc[j]:7.3f}"
-                            f"  {radiance[0][i, j, k]:9.4f}  {radiance[1][i, j, k]:9.4f}\n")
+                    if stokes:
+                        cols = "".join(
+                            f"  {radiance[0][i, j, k, c]:9.4f}"
+                            f"  {radiance[1][i, j, k, c]:9.4f}"
+                            for c in range(4))
+                        f.write(f"{xc[i]:7.3f}{yc[j]:7.3f}{cols}\n")
+                    else:
+                        f.write(f"{xc[i]:7.3f}{yc[j]:7.3f}"
+                                f"  {radiance[0][i, j, k]:9.4f}"
+                                f"  {radiance[1][i, j, k]:9.4f}\n")
 
 
 def write_results_netcdf(path, cfg, x_edges, y_edges, z_edges,
@@ -169,10 +190,21 @@ def write_results_netcdf(path, cfg, x_edges, y_edges, z_edges,
         if absorbed_volume is not None:
             put("absorbedVolume", ("z", "y", "x"), *absorbed_volume)
         if intensity is not None:
-            nd = intensity[0].shape[-1]
+            stokes = intensity[0].ndim == 4
+            nd = intensity[0].shape[2] if stokes else intensity[0].shape[-1]
             nc.createDimension("direction", nd)
             nc.createVariable("intensityMus", "f", ("direction",))[:] = np.asarray(
                 intensity_mus, np.float32)
             nc.createVariable("intensityPhis", "f", ("direction",))[:] = np.asarray(
                 intensity_phis, np.float32)
-            put("intensity", ("direction", "y", "x"), *intensity)
+            if stokes:
+                # Polarized extension: (x, y, D, 4) in memory writes as CDL
+                # (stokes, direction, y, x); component order I Q U V in the
+                # detector-meridian convention.
+                nc.createDimension("stokes", 4)
+                nc.Stokes_convention = (
+                    "I Q U V; Q parallel to the detector meridian plane")
+                put("intensity", ("stokes", "direction", "y", "x"),
+                    *intensity)
+            else:
+                put("intensity", ("direction", "y", "x"), *intensity)

@@ -52,8 +52,46 @@ def _var(nc, name):
 # ---------------------------------------------------------------------------
 # Phase function tables
 # ---------------------------------------------------------------------------
-def add_phase_function_table(nc, table: PhaseFunctionTable, prefix: str = "") -> None:
-    """Write a table into an open netcdf_file (add_PhaseFunctionTable analog)."""
+def _add_phase_matrix_table(nc, table, prefix: str) -> None:
+    """Write a PhaseMatrixTable: the P11 scalar table in the reference's
+    exact Angle-Value layout PLUS one extra variable holding the other
+    five matrix elements.
+
+    BACKWARD COMPATIBLE by construction: a Fortran reader
+    (read_PhaseFunctionTable, scatteringPhaseFunctions.f95:1129-1252) sees
+    a normal Angle-Value table (the P11 element) and ignores the extra
+    ``phaseMatrixElements`` variable; only this package's reader (and any
+    future polarized Fortran — Wishlist.txt:20-31) reconstructs the
+    matrices.  Elements share P11's absolute scale; CDL order
+    (entry, element, angle) with elements ordered (b1, a2, a3, a4, b2).
+    """
+    angles0 = table.phase_matrices[0].scattering_angle
+    if not all(np.array_equal(m.scattering_angle, angles0)
+               for m in table.phase_matrices):
+        raise ValidationError(
+            "add_phase_function_table: phase matrices in one table must "
+            "share an angle grid to be written")
+    add_phase_function_table(nc, table.scalar, prefix=prefix)
+    nc.createDimension(prefix + "matrixElement", 5)
+    mv = nc.createVariable(prefix + "phaseMatrixElements", "f",
+                           (prefix + "phaseFunctionNumber",
+                            prefix + "matrixElement",
+                            prefix + "scatteringAngle"))
+    mv[:] = np.stack([np.stack([m.b1, m.a2, m.a3, m.a4, m.b2])
+                      for m in table.phase_matrices]).astype(np.float32)
+    setattr(nc, prefix + "phaseMatrixStorageType", "PhaseMatrix")
+
+
+def add_phase_function_table(nc, table, prefix: str = "") -> None:
+    """Write a table into an open netcdf_file (add_PhaseFunctionTable analog).
+
+    Accepts a PhaseFunctionTable or (polarized extension) a
+    PhaseMatrixTable — the latter lands as P11 in the reference layout
+    plus a phaseMatrixElements variable (see _add_phase_matrix_table).
+    """
+    if hasattr(table, "phase_matrices"):
+        _add_phase_matrix_table(nc, table, prefix)
+        return
     n_entries = table.n_entries
     stored_legendre = all(p.stored_as_legendre for p in table.phase_functions)
     one_angle_set = (not stored_legendre) and all(
@@ -108,8 +146,31 @@ def add_phase_function_table(nc, table: PhaseFunctionTable, prefix: str = "") ->
         setattr(nc, prefix + "phaseFunctionStorageType", "LegendreCoefficients")
 
 
-def read_phase_function_table_nc(nc, prefix: str = "") -> PhaseFunctionTable:
-    """Read a table from an open netcdf_file (read_PhaseFunctionTable analog)."""
+def read_phase_function_table_nc(nc, prefix: str = ""):
+    """Read a table from an open netcdf_file (read_PhaseFunctionTable analog).
+
+    Returns a PhaseMatrixTable when the polarized-extension
+    ``phaseMatrixElements`` variable is present (see
+    _add_phase_matrix_table), else a PhaseFunctionTable.
+    """
+    if prefix + "phaseMatrixElements" in nc.variables:
+        from i3rc_tpu.core.phase_matrices import PhaseMatrix, PhaseMatrixTable
+
+        key = _var(nc, prefix + "phaseFunctionKeyT").astype(np.float64)
+        ext = _var(nc, prefix + "extinctionT").astype(np.float64)
+        ssa = _var(nc, prefix + "singleScatteringAlbedoT").astype(np.float64)
+        angles = _var(nc, prefix + "scatteringAngle").astype(np.float64)
+        p11 = _var(nc, prefix + "phaseFunctionValues").astype(np.float64)
+        el = _var(nc, prefix + "phaseMatrixElements").astype(np.float64)
+        mats = [
+            PhaseMatrix.from_elements(
+                angles, p11[i], el[i, 0], a2=el[i, 1], a3=el[i, 2],
+                a4=el[i, 3], b2=el[i, 4], extinction=ext[i],
+                single_scattering_albedo=ssa[i])
+            for i in range(key.size)
+        ]
+        return PhaseMatrixTable.from_phase_matrices(
+            mats, key, description=_att(nc, prefix + "description", "") or "")
     storage = _att(nc, prefix + "phaseFunctionStorageType")
     if storage is None:
         raise ValidationError(

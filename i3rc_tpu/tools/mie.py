@@ -89,8 +89,13 @@ def mie_cross_sections(x: float, a: np.ndarray, b: np.ndarray):
     return qext, qscat
 
 
-def mie_intensity(a: np.ndarray, b: np.ndarray, mu: np.ndarray) -> np.ndarray:
-    """P1 = (|S1|^2+|S2|^2)/2 at each mu, vectorized (MIEANGLE, :174-209)."""
+def mie_amplitudes(a: np.ndarray, b: np.ndarray, mu: np.ndarray):
+    """Scattering amplitudes (S1, S2) at each mu, vectorized.
+
+    The angular sums of MIEANGLE (mieindsub.f:174-209) kept as complex
+    amplitudes instead of collapsed to intensity — the phase-matrix
+    elements (core/phase_matrices.PhaseMatrix.from_mie) need S1, S2
+    separately (Bohren & Huffman sec. 4.4.4)."""
     n_terms = a.size
     s1 = np.zeros(mu.shape, dtype=np.complex128)
     s2 = np.zeros(mu.shape, dtype=np.complex128)
@@ -102,6 +107,12 @@ def mie_intensity(a: np.ndarray, b: np.ndarray, mu: np.ndarray) -> np.ndarray:
         s1 += c * (a[n - 1] * pin + b[n - 1] * taun)
         s2 += c * (b[n - 1] * pin + a[n - 1] * taun)
         pin, pim = ((2 * n + 1) * mu * pin - (n + 1) * pim) / n, pin
+    return s1, s2
+
+
+def mie_intensity(a: np.ndarray, b: np.ndarray, mu: np.ndarray) -> np.ndarray:
+    """P1 = (|S1|^2+|S2|^2)/2 at each mu, vectorized (MIEANGLE, :174-209)."""
+    s1, s2 = mie_amplitudes(a, b, mu)
     return 0.5 * (np.abs(s1) ** 2 + np.abs(s2) ** 2)
 
 
