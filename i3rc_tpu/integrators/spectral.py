@@ -31,6 +31,11 @@ from i3rc_tpu.core.phase_functions import PhaseFunction, PhaseFunctionTable
 from i3rc_tpu.integrators.integrator import Integrator, device_optics_from_flat
 from i3rc_tpu.parallel.mesh import default_mesh, run_batches
 
+# Cold-cache crossover between the fused single-dispatch loop and per-k
+# baked Mosaic executables, in photons per k point (round-5 bench-chip
+# measurement — see run_band's auto branch and BENCH_CASES.md).
+BAKED_CROSSOVER_PHOTONS_PER_K = 4_000_000_000
+
 GAS_COMPONENT_NAME = "Gas absorption"
 
 
@@ -111,6 +116,40 @@ def run_band(integrator: Integrator, base_domain: Domain, kdist: KDistribution,
                             mesh=mesh, derive=derive,
                             derive_token=derive_token,
                             integrator_cache=integrator_cache, **decision)
+        # Budget-aware mode pick (round-5 bench-chip measurement, see
+        # BENCH_CASES.md "broadband crossover"): per-photon, baked per-k
+        # Mosaic executables run 2.5-5x faster than the fused XLA dispatch
+        # (1.6e8 vs 6.6e7 photons/s at 2^23-photon batches; 3.2e8 at
+        # 2^24), but cost one ~30-80 s Mosaic compile PER K POINT where
+        # fused compiles once per band — so on a COLD compile cache baked
+        # only wins above ~3-9e9 photons per k point.  Below the
+        # crossover, fused-first; above it, baked-first when the baked
+        # integrator elects the gas-channel fastpath.  (The persistent
+        # compile cache, utils/compile_cache.py, makes every repeated
+        # configuration warm, where baked wins at ANY budget — users
+        # re-running production bands can force mode="baked".)
+        photons_per_k = int(n_photons_per_batch) * int(n_batches)
+        if photons_per_k >= BAKED_CROSSOVER_PHOTONS_PER_K:
+            probe = Integrator.create(
+                domain_with_gas_component(base_domain, profiles[:, 0]),
+                config=integrator.config,
+                surface_albedo=integrator._surface_albedo,
+                surface=integrator._surface_arg,
+                intensity_mus=integrator._intensity_mus,
+                intensity_phis=integrator._intensity_phis)
+            from i3rc_tpu.integrators import fastpath as _fp
+            if _fp.fast_plan(probe.geometry, probe._flat, probe.optics,
+                             probe.surface, probe.intensity,
+                             probe.config) is not None:
+                if integrator_cache is not None:
+                    integrator_cache[dkey] = (dict(bake_fastpath=True),
+                                              kdist, base_domain)
+                return run_band(integrator, base_domain, kdist, source,
+                                n_photons_per_batch, n_batches, seed=seed,
+                                mesh=mesh, derive=derive,
+                                derive_token=derive_token,
+                                bake_fastpath=True,
+                                integrator_cache=integrator_cache)
         try:
             band = run_band(integrator, base_domain, kdist, source,
                             n_photons_per_batch, n_batches, seed=seed,

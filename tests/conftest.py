@@ -108,6 +108,12 @@ SLOW_TESTS = [
     "test_fastpath.py::test_iwabuchi_on_fastpath",
     "test_serial_path.py::test_chained_radiance_tracer_matches_inline",
     "test_sharded_domain.py::test_sharded_multicomponent_tabulated",
+    # Round-5 polarized statistical gates; quick tier keeps the matrix
+    # core, energy closure, single-scattering analytic Stokes pins, the
+    # netCDF roundtrip, and the driver end-to-end run.
+    "test_polarized.py::test_identity_matrix_matches_scalar_kernel",
+    "test_polarized.py::test_lambertian_surface_depolarizes",
+    "test_polarized.py::test_polarized_multicomponent",
 ]
 
 
