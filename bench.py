@@ -337,6 +337,45 @@ def run_spectral(jax, scale):
         return n_traced / dt, band.mean, 0.0, band.mean
 
 
+def run_polarized(jax, scale):
+    """Rayleigh atmosphere, Stokes-vector transport + 2 Stokes detectors:
+    the polarized tracer (integrators/polarized.py — reference Wishlist
+    item 3, no reference baseline exists).  Round-5 measured 2.1e6
+    photons/s at this shape; the cross-check value is the principal-plane
+    DoP at the near-90-degree geometry (~0.6, examples/
+    rayleigh_polarization.py)."""
+    import numpy as np
+
+    from i3rc_tpu import (
+        Domain,
+        PhaseMatrix,
+        PhaseMatrixTable,
+        PolarizedIntegrator,
+    )
+    from i3rc_tpu.core.illumination import PhotonSource
+    from i3rc_tpu.integrators.config import IntegratorConfig
+
+    tab = PhaseMatrixTable.from_phase_matrices(
+        [PhaseMatrix.rayleigh(depolarization=0.03)], [1.0])
+    dom = Domain.create([0.0, 1000.0], [0.0, 1000.0],
+                        np.linspace(0.0, 8000.0, 9))
+    ext = np.full((1, 1, 8), 0.4 / 8000.0)
+    dom = dom.add_component("rayleigh", ext, np.ones_like(ext),
+                            np.zeros(ext.shape, np.int32), tab)
+    n_photons = (1 << 23) // scale
+    integ = PolarizedIntegrator.create(
+        dom, config=IntegratorConfig(max_events=200),
+        intensity_mus=[0.9, 0.5], intensity_phis=[0.0, 0.0])
+    fn = integ.batch_fn(PhotonSource.directional(0.5, 0.0), n_photons,
+                        n_lanes=min(1 << 16, n_photons))
+    key = jax.random.key(8, impl="rbg")
+    res = fn(jax.random.fold_in(key, 99))
+    _drain(res.intensity)
+    dt, res = _median_time(fn, [jax.random.fold_in(key, i) for i in range(2)],
+                           lambda r: jax.block_until_ready(r.intensity))
+    return n_photons / dt, res
+
+
 def run_checks(jax, quick):
     """On-device smoke suite; returns (ok, messages)."""
     import numpy as np
@@ -604,6 +643,8 @@ def main():
         gr = row("general_radiance", 180,
                  lambda: run_general_radiance(jax, scale),
                  "photons/sec/chip (step cloud + 3 detectors, general kernel queued)")
+        p = row("polarized", 120, lambda: run_polarized(jax, scale),
+                "photons/sec/chip (Rayleigh atmosphere, Stokes transport + 2 Stokes detectors)")
         cross = []
         if r is not None:
             cross.append("radiance I=" + str(
@@ -617,6 +658,9 @@ def main():
             cross.append(
                 f"broadband Fup={float(np.asarray(b_res.flux_up).mean()):.4f}"
                 f" fused Fup={float(np.asarray(bf_res.flux_up).mean()):.4f}")
+        if p is not None:
+            dop = float(np.asarray(p[1].degree_of_polarization)[0])
+            cross.append(f"polarized DoP(94deg)={dop:.3f}")
         if cross:
             state.messages.append(" ".join(cross))
 

@@ -431,3 +431,27 @@ def test_polarized_driver_end_to_end(tmp_path):
     # counts as escape) — just require up/down sane and scaled by solarFlux.
     m = out["mean_stats"]
     assert 0.0 < m[0][0] < 1.0 and 0.0 < m[1][0] < 1.0
+
+
+def test_polarized_run_batches_sharded():
+    """PolarizedIntegrator rides the standard mesh batch parallelism
+    (run_batches over the 8-device CPU mesh): moments accumulate, Stokes
+    radiances come back (nx, ny, D, 4) with per-batch stderr, and the
+    flux mean matches a single-device compute within noise."""
+    from i3rc_tpu.parallel.mesh import default_mesh, run_batches
+
+    dom = rayleigh_slab(tau=0.5)
+    integ = PolarizedIntegrator.create(
+        dom, config=IntegratorConfig(max_events=100),
+        intensity_mus=[0.8], intensity_phis=[0.0])
+    src = PhotonSource.directional(0.6, 0.0)
+    stats = run_batches(integ, src, 2048, 8, seed=5, mesh=default_mesh())
+    mean = stats.mean
+    assert np.asarray(mean.intensity).shape[-1] == 4
+    assert np.asarray(stats.stderr.intensity).shape == \
+        np.asarray(mean.intensity).shape
+    single = integ.compute(jax.random.PRNGKey(17), src, 2048 * 8)
+    fup_m = float(np.asarray(mean.flux_up).mean())
+    fup_s = float(single.mean_flux_up)
+    assert fup_m == pytest.approx(fup_s, abs=0.03)
+    assert float(np.asarray(mean.intensity)[..., 0].mean()) > 0.0
