@@ -106,10 +106,12 @@ class IntegratorConfig:
     # by free-path memorylessness).  Pays in collision-dominated media; a
     # bonus phase costs ~1/3 of a full event's vector work.  Ignored when
     # radiance detectors are active (each collision needs shadow traces).
-    # Default 3 = the measured headline optimum (206 -> 265 M photons/s on
-    # the 2^24 step-cloud TPU quick bench; 4+ declines — the marginal
-    # chain-hit probability no longer covers the bonus phase's vector cost).
-    fastpath_chain: int = 3
+    # Default -1 = auto: the round-5 bench-chip A/B found the optimum is
+    # WORKLOAD-dependent — plain cloud media peak at depth 2 (5.41e8 vs
+    # 5.10e8 photons/s at 3; 4.55e8 at 4; 3.97e8 at 1), the baked gas
+    # channel at depth 3 (3.21e8 vs 2.43e8 at 2).  Explicit values >= 0
+    # override; 0 disables chaining.
+    fastpath_chain: int = -1
     # Queued (persistent-ray) local estimation in the general kernel: each
     # lane owns D shadow-ray slots that advance a bounded number of DDA
     # crossings per transport event at full occupancy, instead of tracing

@@ -1274,8 +1274,16 @@ def make_fast_tracer(geom, plan: FastPlan, config, n_photons: int,
     # traces, which dominate that path anyway).  gas_k disables it too: a
     # bonus move crosses gas layers, so each phase would need its own
     # endpoint read — the chain's saving inverts.
-    CHAIN = 0 if (D or gask_mode) else max(
-        0, int(getattr(config, "fastpath_chain", 3)))
+    # Depth auto (fastpath_chain < 0): workload-dependent optimum, round-5
+    # A/B on the bench chip — plain cloud media peak at 2 (5.41e8 vs
+    # 5.10e8 at 3: the deeper chain's extra where-lane work outweighs its
+    # chain-hit rate), the BAKED gas channel at 3 (3.21e8 vs 2.43e8 at 2:
+    # its gas-threshold test rides the bonus phases, so deeper chaining
+    # still amortizes the endpoint read).
+    chain_cfg = int(getattr(config, "fastpath_chain", -1))
+    if chain_cfg < 0:
+        chain_cfg = 3 if gas_mode else 2
+    CHAIN = 0 if (D or gask_mode) else max(0, chain_cfg)
     bonus_draws = 4 if absorbing else 3
     bonus_base = n_draws
     n_draws += CHAIN * bonus_draws
