@@ -458,7 +458,10 @@ class _BenchState:
         self.out = None          # headline dict, set once computed
         self.extras = []
         self.messages = []
-        self.checks_passed = True
+        # False until the smoke checks actually RUN and pass (--no-check
+        # flips it explicitly): if the watchdog fires before the checks
+        # complete, the emitted line must not claim a checked run.
+        self.checks_passed = False
         self.emitted = False
         self.lock = threading.Lock()
 
@@ -600,7 +603,9 @@ def main():
         f"Fup={float(res.mean_flux_up):.4f} dt={dt*1e3:.1f}ms "
         f"device={jax.devices()[0]} headline at +{time.time()-state.t_start:.0f}s")
 
-    if not args.no_check:
+    if args.no_check:
+        state.checks_passed = True
+    else:
         ok1, m1 = check_headline(res, n_headline)
         ok2, m2 = run_checks(jax, args.quick)
         state.checks_passed = ok1 and ok2

@@ -419,7 +419,21 @@ class Integrator:
         from i3rc_tpu.ops.gather import ONEHOT_MAX_ROWS
         if (self.intensity is not None
                 and self._flat.total_ext.size > ONEHOT_MAX_ROWS
-                and self.config.use_ratio_tracking_for_intensity):
+                and self.config.use_ratio_tracking_for_intensity
+                # ... but only when the CHAINED tracer actually engages
+                # (mirror make_batch_tracer's eligibility: weight-1 class);
+                # the inline general kernel stays wide-friendly, and 2^13
+                # lanes on it would be a large regression.
+                and not self.surface.uses_brdf
+                and float(self.surface.albedo) == 0.0
+                and self.optics.n_components == 1
+                and self.optics.uniform_ssa is not None
+                and self.optics.uniform_phase_index is not None
+                and not self.config.compute_volume_absorption
+                and not self.config.use_hybrid_phase_funs
+                and not self.config.limit_intensity_contributions
+                and self.config.majorant_block_size > 0
+                and not self.config.use_ray_tracing):
             return 1 << 13
         plan = self._fast_plan
         return (1 << 15) if (plan is not None

@@ -228,7 +228,13 @@ def make_polarized_tracer(geom: GridGeometry, flat, tabs, inv_cubic,
     S = int(inv_cubic.shape[0] // (ncomp * tabs["max_entries"]))
     ME = int(tabs["max_entries"])
     n_fwd = int(tabs["n_fwd"])
-    max_iters = config.max_events * (n_photons // L + 2)
+    # Iteration budget: each loop trip is one TENTATIVE collision against
+    # the GLOBAL majorant, so heterogeneous domains burn null collisions
+    # without advancing `order` — scale the budget by the mean
+    # null-collision factor (majorant over mean nonzero extinction), else
+    # photons in clear air would hit the cap mid-flight and land in n_bad.
+    null_factor = max(1, min(64, int(np.ceil(flat["null_factor"]))))
+    max_iters = config.max_events * (n_photons // L + 2) * null_factor
     lambert = float(surface_albedo) > 0.0
     alb = jnp.float32(surface_albedo)
     s0 = jnp.asarray(np.asarray(source_stokes, np.float32))
@@ -250,11 +256,15 @@ def make_polarized_tracer(geom: GridGeometry, flat, tabs, inv_cubic,
         up_ld = jnp.broadcast_to(up_going[None, :], (L, D)).reshape(LD)
         zeta = jnp.float32(max(min(config.zeta_min, 1.0), 1e-3))
         # Ratio-tracking rounds are bounded by the majorant optical depth
-        # (mean rounds ~ maj * geometric path): generous static budget.
+        # (mean rounds ~ maj * geometric path).  The bound must cover the
+        # GRAZING detector's slant path (validation allows any |mu| > 0),
+        # so no floor beyond numeric safety; a generous cap is fine — the
+        # while_loop exits when no ray is active, so the budget is a
+        # safety bound, not a trip count.  Over-budget rays land in n_bad.
         min_abs_mu = max(float(np.min(np.abs(np.asarray(intensity_dirs)[2]))),
-                         0.05)
+                         1e-3)
         max_rounds = min(64 + 8 * int(maj * (geom.z_max - geom.z0)
-                                      / min_abs_mu), 65536)
+                                      / min_abs_mu), 1 << 20)
     else:
         D = 0
 
@@ -363,7 +373,17 @@ def make_polarized_tracer(geom: GridGeometry, flat, tabs, inv_cubic,
             # report unrotated.
             c2a = jnp.where(deg, 1.0, ca * ca - sa * sa)
             s2a = jnp.where(deg, 0.0, 2.0 * ca * sa)
-            qd, ud = stokes_rotate(q2, u2, c2a, s2a)
+            # SIGN: (ca, sa) are components of the OLD basis vector e1_s in
+            # the TARGET (meridian) basis — the rotation taking (e1_s, e2_s)
+            # to (m1, m2) through m1 = cos X e1_s + sin X e2_s has
+            # cos X = ca but sin X = -sa (m2 = -sin X e1_s + cos X e2_s
+            # dotted with e1_s gives -sin X).  So the Stokes alignment is
+            # L(-a): the transpose of the chi-rotation above, hence -s2a.
+            # Pinned by the geometric oracle in
+            # tests/test_polarized.py::_expected_single_scatter (the
+            # polarization of singly-scattered Rayleigh light lies along
+            # the scattering-plane normal, built with cross products only).
+            qd, ud = stokes_rotate(q2, u2, c2a, -s2a)
             pref = T(w_scat) / (4.0 * PI * abs_mu[d_idx])
             # Lambertian-reflection lanes: depolarized w/pi toward upward
             # detectors, no phase matrix, no meridian rotation.
@@ -430,8 +450,8 @@ def make_polarized_tracer(geom: GridGeometry, flat, tabs, inv_cubic,
             (alive, launched, x, y, z, ux, uy, uz, e1x, e1y, e1z,
              q, us, v, w, order, tallies) = st
             ek = jax.random.fold_in(key, k)
-            ks = jax.random.split(ek, 3)
-            u8 = jax.random.uniform(ks[0], (9, L), dtype=jnp.float32)
+            ks = jax.random.split(ek, 2)
+            u8 = jax.random.uniform(ks[0], (8, L), dtype=jnp.float32)
 
             # --- refill dead lanes ------------------------------------------
             if n_photons > L:
@@ -684,6 +704,7 @@ class PolarizedIntegrator:
             replace(flat_np, forward_tables=scalar_tables))
         ncomp = flat_np.n_components
         n_cells = int(np.prod(flat_np.total_ext.shape))
+        ext_pos = flat_np.total_ext[flat_np.total_ext > 0]
         flat = {
             "total_ext": jnp.asarray(flat_np.total_ext.reshape(-1)),
             "cum": jnp.asarray(flat_np.cumulative_ext.reshape(-1)),
@@ -692,6 +713,11 @@ class PolarizedIntegrator:
             "ncomp": ncomp,
             "max_ext": flat_np.max_extinction,
             "n_cells": n_cells,
+            # Mean null-collision factor of the global-majorant transport:
+            # sizes the event-loop iteration budget (see max_iters).
+            "null_factor": (float(flat_np.max_extinction)
+                            / max(float(ext_pos.mean()), 1e-30)
+                            if ext_pos.size else 1.0),
         }
         tabs = _bake_matrix_tables(domain, n_forward_steps)
         geom = GridGeometry.from_edges(

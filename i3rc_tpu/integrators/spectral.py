@@ -107,8 +107,13 @@ def run_band(integrator: Integrator, base_domain: Domain, kdist: KDistribution,
     if fuse_k == "auto":
         # Memoize the eligibility decision: an ineligible workload would
         # otherwise pay the failed fused Integrator.create plus a probe
-        # build on EVERY band run of a production spectral loop.
-        dkey = ("auto_decision", id(kdist), id(base_domain))
+        # build on EVERY band run of a production spectral loop.  The key
+        # includes WHICH SIDE of the photon-budget crossover this call is
+        # on — a small warm-up run must not pin the fused mode for a later
+        # above-crossover production sweep (or vice versa).
+        photons_per_k = int(n_photons_per_batch) * int(n_batches)
+        above_crossover = photons_per_k >= BAKED_CROSSOVER_PHOTONS_PER_K
+        dkey = ("auto_decision", id(kdist), id(base_domain), above_crossover)
         if integrator_cache is not None and dkey in integrator_cache:
             decision = integrator_cache[dkey][0]
             return run_band(integrator, base_domain, kdist, source,
@@ -128,8 +133,7 @@ def run_band(integrator: Integrator, base_domain: Domain, kdist: KDistribution,
         # compile cache, utils/compile_cache.py, makes every repeated
         # configuration warm, where baked wins at ANY budget — users
         # re-running production bands can force mode="baked".)
-        photons_per_k = int(n_photons_per_batch) * int(n_batches)
-        if photons_per_k >= BAKED_CROSSOVER_PHOTONS_PER_K:
+        if above_crossover:
             probe = Integrator.create(
                 domain_with_gas_component(base_domain, profiles[:, 0]),
                 config=integrator.config,

@@ -142,10 +142,15 @@ def test_polarized_energy_closure():
 def _expected_single_scatter(tau, mu0_dir, det, depol=0.0):
     """First-order Stokes toward ``det`` in the detector meridian frame.
 
+    INDEPENDENT geometric oracle — deliberately shares no frame-rotation
+    machinery with the kernel (an earlier version replicated the kernel's
+    alignment formula and could not catch its sign error): the polarized
+    part of singly-scattered light lies along the scattering-plane NORMAL
+    n = u x det (b1 < 0: polarization perpendicular to the plane), with
+    magnitude -b1 x geometry.  Q/U follow from the polarization angle psi
+    of n against the meridian basis: Q = Ip cos 2psi, U = Ip sin 2psi.
     I uses the same closed form the scalar suite pins
-    (test_integrator.test_single_scattering_radiance); Q/U add the matrix
-    elements and the scattering-plane -> meridian-plane rotation, all in
-    float64 numpy, independent of the jax kernel code.
+    (test_integrator.test_single_scattering_radiance).
     """
     cos_t = mu0_dir @ det
     e = rayleigh_matrix_values(np.array([np.arccos(np.clip(cos_t, -1, 1))]),
@@ -157,31 +162,24 @@ def _expected_single_scatter(tau, mu0_dir, det, depol=0.0):
     else:
         am = abs(mu)
         geom = (np.exp(-tau / mu0) - np.exp(-tau / am)) / (4 * np.pi) / (mu0 - am)
-    # Stokes in the scattering-plane frame (unpolarized source: L(chi)
-    # drops out): (a1, b1, 0, 0).  Rotate into the detector meridian frame.
-    u = mu0_dir
-    st2 = 1.0 - cos_t ** 2
-    if st2 < 1e-12:
-        rot_c2, rot_s2 = 1.0, 0.0
-    else:
-        st = np.sqrt(st2)
-        e1d = (det - cos_t * u) / st
-        e1s = -st * u + cos_t * e1d
-        # meridian basis of det
-        z = np.array([0.0, 0.0, 1.0])
-        m1 = z - det * det[2]
-        if np.linalg.norm(m1) < 1e-6:
-            m1 = np.array([1.0, 0.0, 0.0]) - det * det[0]
-        m1 = m1 / np.linalg.norm(m1)
-        m2 = np.cross(det, m1)
-        ca = e1s @ m1
-        sa = e1s @ m2
-        rot_c2 = ca * ca - sa * sa
-        rot_s2 = 2 * ca * sa
-    i_s, q_s, u_s = e["a1"][0], e["b1"][0], 0.0
-    q_d = rot_c2 * q_s + rot_s2 * u_s
-    u_d = -rot_s2 * q_s + rot_c2 * u_s
-    return np.array([i_s, q_d, u_d, 0.0]) * geom
+    i_d = e["a1"][0] * geom
+    n = np.cross(mu0_dir, det)
+    nn = np.linalg.norm(n)
+    if nn < 1e-9:          # forward/backward: no polarization (b1 -> 0)
+        return np.array([i_d, 0.0, 0.0, 0.0])
+    n = n / nn
+    z = np.array([0.0, 0.0, 1.0])
+    m1 = z - det * det[2]
+    if np.linalg.norm(m1) < 1e-6:
+        m1 = np.array([1.0, 0.0, 0.0]) - det * det[0]
+    m1 = m1 / np.linalg.norm(m1)
+    m2 = np.cross(det, m1)
+    cpsi = n @ m1
+    spsi = n @ m2
+    ip = -e["b1"][0] * geom         # b1 <= 0 for Rayleigh: Ip >= 0
+    q_d = ip * (cpsi * cpsi - spsi * spsi)
+    u_d = ip * (2.0 * cpsi * spsi)
+    return np.array([i_d, q_d, u_d, 0.0])
 
 
 def test_single_scattering_polarized_rayleigh():

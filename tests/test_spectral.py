@@ -441,8 +441,8 @@ def test_fuse_k_auto_fallback():
     # general-kernel recompiles: the cache holds only the memoized auto
     # decision (so later band runs skip the failed-fused probe), never a
     # baked per-k integrator.
-    assert list(cache3) == [("auto_decision", id(kd3), id(dom3))]
-    assert cache3[("auto_decision", id(kd3), id(dom3))][0] == {
+    assert list(cache3) == [("auto_decision", id(kd3), id(dom3), False)]
+    assert cache3[("auto_decision", id(kd3), id(dom3), False)][0] == {
         "bake_fastpath": False}
     closure = sum(float(np.asarray(getattr(band3.mean, f)).mean())
                   for f in ("flux_up", "flux_down", "flux_absorbed"))
@@ -497,7 +497,7 @@ def test_spectral_loop_brdf_surface_sharded():
         band = run_band(integ, dom, kd, src, 2048, 8, seed=7, mesh=mesh,
                         fuse_k=fuse_k, integrator_cache=cache)
         if expect is not None:
-            assert cache[("auto_decision", id(kd), id(dom))][0] == expect
+            assert cache[("auto_decision", id(kd), id(dom), False)][0] == expect
         fup = np.asarray(band.mean.flux_up)
         se = np.asarray(band.stderr.flux_up)
         return float(fup.mean()), float(np.sqrt((se ** 2).mean()))
