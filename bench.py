@@ -342,7 +342,7 @@ def run_polarized(jax, scale):
     the polarized tracer (integrators/polarized.py — reference Wishlist
     item 3, no reference baseline exists).  Round-5 measured 2.1e6
     photons/s at this shape; the cross-check value is the principal-plane
-    DoP at the near-90-degree geometry (~0.6, examples/
+    DoP at the near-90-degree geometry (~0.7, examples/
     rayleigh_polarization.py)."""
     import numpy as np
 

@@ -453,3 +453,58 @@ def test_polarized_run_batches_sharded():
     fup_s = float(single.mean_flux_up)
     assert fup_m == pytest.approx(fup_s, abs=0.03)
     assert float(np.asarray(mean.intensity)[..., 0].mean()) > 0.0
+
+
+def test_polarized_source_dipole_geometry():
+    """Fully Q-polarized vertical beam, single Rayleigh scattering: pure
+    DIPOLE physics as the oracle, sharing nothing with the kernel's
+    rotation machinery.  The incident polarization is along x (the
+    vertical-beam frame fallback); the scattered light toward detector d
+    is fully polarized along the projection p = x - (x.d) d of the dipole
+    axis, with intensity scaling 1 - (x.d)^2.  Pins the L(chi_d) and
+    meridian-alignment legs for POLARIZED input (the unpolarized
+    single-scatter test cannot see the incoming-azimuth rotation)."""
+    tau = 0.05
+    dom = rayleigh_slab(tau)
+    mus_det = np.array([0.6, 0.6, 0.6, -0.5])
+    phis_det = np.array([0.0, 60.0, 135.0, 30.0])
+    integ = PolarizedIntegrator.create(
+        dom, config=IntegratorConfig(max_events=1),
+        intensity_mus=mus_det, intensity_phis=phis_det,
+        source_stokes=(1.0, 1.0, 0.0, 0.0))
+    res = integ.compute(jax.random.PRNGKey(2),
+                        PhotonSource.directional(1.0, 0.0), 2 * N)
+    got = np.asarray(res.mean_intensity)
+    x_axis = np.array([1.0, 0.0, 0.0])
+    z = np.array([0.0, 0.0, 1.0])
+    for k, (mu, phi_deg) in enumerate(zip(mus_det, phis_det)):
+        sd = np.sqrt(1 - mu ** 2)
+        phi = np.deg2rad(phi_deg)
+        det = np.array([sd * np.cos(phi), sd * np.sin(phi), mu])
+        p = x_axis - (x_axis @ det) * det
+        pn = np.linalg.norm(p)
+        assert pn > 0.3          # geometry keeps the dipole projection fat
+        p = p / pn
+        m1 = z - det * det[2]
+        m1 = m1 / np.linalg.norm(m1)
+        m2 = np.cross(det, m1)
+        cpsi, spsi = p @ m1, p @ m2
+        i_k, q_k, u_k, v_k = got[k]
+        # Fully polarized: DoP == 1 within MC noise on the ratio.
+        dop = np.sqrt(q_k ** 2 + u_k ** 2) / i_k
+        assert dop == pytest.approx(1.0, abs=0.03), (k, got[k])
+        assert abs(v_k) < 0.02 * i_k
+        # Polarization angle matches the projected dipole axis.
+        assert q_k / i_k == pytest.approx(cpsi * cpsi - spsi * spsi,
+                                          abs=0.04), (k, got[k])
+        assert u_k / i_k == pytest.approx(2 * cpsi * spsi, abs=0.04), \
+            (k, got[k])
+    # Relative intensities follow the dipole factor 1 - (x.d)^2.
+    def dip(k):
+        sd = np.sqrt(1 - mus_det[k] ** 2)
+        phi = np.deg2rad(phis_det[k])
+        det = np.array([sd * np.cos(phi), sd * np.sin(phi), mus_det[k]])
+        return 1.0 - (x_axis @ det) ** 2
+    r_got = got[1, 0] / got[0, 0]
+    r_exp = dip(1) / dip(0)
+    assert r_got == pytest.approx(r_exp, rel=0.06)
