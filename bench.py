@@ -340,8 +340,8 @@ def run_spectral(jax, scale):
 def run_polarized(jax, scale):
     """Rayleigh atmosphere, Stokes-vector transport + 2 Stokes detectors:
     the polarized tracer (integrators/polarized.py — reference Wishlist
-    item 3, no reference baseline exists).  Round-5 measured 2.1e6
-    photons/s at this shape; the cross-check value is the principal-plane
+    item 3, no reference baseline exists).  Round-5 measured 1.0e7
+    photons/s at this shape (packed 6-wide matrix-element reads); the cross-check value is the principal-plane
     DoP at the near-90-degree geometry (~0.7, examples/
     rayleigh_polarization.py)."""
     import numpy as np

@@ -74,7 +74,6 @@ from i3rc_tpu.integrators.tables import build_inverse_cubic
 from i3rc_tpu.integrators.wavefront import (
     PI,
     _sincos_2pi,
-    _table_lookup,
     make_direction_cosines,
 )
 from i3rc_tpu.ops.dda import GridGeometry
@@ -171,10 +170,13 @@ def _bake_matrix_tables(domain: Domain, n_fwd: int) -> dict:
         out[i, :c.shape[0]] = c
         if c.shape[0] < max_entries:
             out[i, c.shape[0]:] = c[-1]
-    names = ["a1", "rb1", "ra2", "ra3", "ra4", "rb2"]
-    return ({n: jnp.asarray(out[:, :, k, :].reshape(-1))
-             for k, n in enumerate(names)}
-            | {"n_fwd": n_fwd, "max_entries": max_entries})
+    # ONE packed (rows, 6) table: the six elements of an angle read come
+    # back in two 6-wide row gathers (the two interpolation endpoints)
+    # instead of twelve scalar gathers — serialized-gather cost on TPU is
+    # per ROW, nearly independent of row width (PERF_NOTES.md).
+    packed = np.moveaxis(out, 2, 3).reshape(-1, 6)   # (ncomp*ME*n_fwd, 6)
+    return {"packed": jnp.asarray(packed), "n_fwd": n_fwd,
+            "max_entries": max_entries}
 
 
 def _meridian_basis(dirs: np.ndarray):
@@ -282,13 +284,18 @@ def make_polarized_tracer(geom: GridGeometry, flat, tabs, inv_cubic,
         return c2 * q + s2 * u, -s2 * q + c2 * u
 
     def matrix_apply(row, pos, q, u, v):
-        """[M(theta) S] for normalized S = (1, q, u, v); returns Stokes."""
-        a1 = _table_lookup(tabs["a1"], row, pos, n_fwd)
-        rb1 = _table_lookup(tabs["rb1"], row, pos, n_fwd)
-        ra2 = _table_lookup(tabs["ra2"], row, pos, n_fwd)
-        ra3 = _table_lookup(tabs["ra3"], row, pos, n_fwd)
-        ra4 = _table_lookup(tabs["ra4"], row, pos, n_fwd)
-        rb2 = _table_lookup(tabs["rb2"], row, pos, n_fwd)
+        """[M(theta) S] for normalized S = (1, q, u, v); returns Stokes.
+
+        One interpolated read of the packed (rows, 6) element table: two
+        6-wide row gathers total (see _bake_matrix_tables)."""
+        p = jnp.clip(pos, 0.0, 1.0) * (n_fwd - 1)
+        i0 = jnp.clip(p.astype(jnp.int32), 0, n_fwd - 2)
+        frac = (p - i0.astype(p.dtype))[:, None]
+        r0 = tabs["packed"][row + i0]
+        r1 = tabs["packed"][row + i0 + 1]
+        e = (1.0 - frac) * r0 + frac * r1
+        a1, rb1, ra2 = e[:, 0], e[:, 1], e[:, 2]
+        ra3, ra4, rb2 = e[:, 3], e[:, 4], e[:, 5]
         i2 = a1 * (1.0 + rb1 * q)
         q2 = a1 * (rb1 + ra2 * q)
         u2 = a1 * (ra3 * u + rb2 * v)
